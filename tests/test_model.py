@@ -1,0 +1,112 @@
+"""Shape/behaviour tests for the Darknet-53 + YOLOv3 model family,
+the equivalent of the reference's `net.summary(...)` smoke blocks
+(darknet.py:141-145, train_yolov3.py:735-758) plus real assertions."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoyolo_tpu.models.darknet import Darknet53
+from videoyolo_tpu.models.yolo3 import YOLOv3, flatten_detections, postprocess
+
+
+@pytest.fixture(scope="module")
+def voc_model():
+    model = YOLOv3(num_classes=20)
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def test_darknet_routes_shapes():
+    model = Darknet53()
+    x = jnp.zeros((1, 416, 416, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    r1, r2, r3 = model.apply(variables, x, train=False)
+    assert r1.shape == (1, 52, 52, 256)
+    assert r2.shape == (1, 26, 26, 512)
+    assert r3.shape == (1, 13, 13, 1024)
+
+
+def test_param_count_matches_reference_scale(voc_model):
+    # yolo3_darknet53 VOC has ~61.6M params
+    _, variables = voc_model
+    n = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert 61_000_000 < n < 62_500_000
+
+
+def test_inference_shapes(voc_model):
+    model, variables = voc_model
+    x = jnp.zeros((2, 160, 160, 3), jnp.float32)
+    boxes, scores = model.apply(variables, x, train=False)
+    n = ((160 // 32) ** 2 + (160 // 16) ** 2 + (160 // 8) ** 2) * 3
+    assert boxes.shape == (2, n, 4)
+    assert scores.shape == (2, n, 20)
+    ids, sc, bb = postprocess(boxes, scores)
+    assert ids.shape == (2, 100, 1) and sc.shape == (2, 100, 1) and bb.shape == (2, 100, 4)
+
+
+@pytest.mark.parametrize("size", [96, 224])
+def test_multi_scale_inference(voc_model, size):
+    """Random-shape training contract: shapes 320..608 in steps of 32
+    (train_yolov3.py:269-271)."""
+    model, variables = voc_model
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    boxes, scores = model.apply(variables, x, train=False)
+    n = ((size // 32) ** 2 + (size // 16) ** 2 + (size // 8) ** 2) * 3
+    assert boxes.shape == (1, n, 4)
+
+
+def test_train_outputs(voc_model):
+    model, variables = voc_model
+    x = jnp.zeros((2, 160, 160, 3), jnp.float32)
+    out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    n = ((160 // 32) ** 2 + (160 // 16) ** 2 + (160 // 8) ** 2) * 3
+    assert out["bbox"].shape == (2, n, 4)
+    assert out["objness"].shape == (2, n, 1)
+    assert out["class_pred"].shape == (2, n, 20)
+    assert "batch_stats" in mutated
+
+
+def test_noback_head_only():
+    """yolo3_no_backbone capability (yolo3.py:1686, wrappers.py:133)."""
+    model = YOLOv3(num_classes=20, use_backbone=False)
+    feats = (
+        jnp.zeros((1, 52, 52, 256)),
+        jnp.zeros((1, 26, 26, 512)),
+        jnp.zeros((1, 13, 13, 1024)),
+    )
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    boxes, scores = model.apply(variables, feats, train=False)
+    assert boxes.shape == (1, 10647, 4)
+
+
+def test_agnostic_mode():
+    model = YOLOv3(num_classes=20, agnostic=True)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    boxes, scores = model.apply(variables, x, train=False)
+    assert scores.shape == (1, boxes.shape[1], 1)
+
+
+def test_flatten_detections_matches_reference_order(voc_model):
+    model, variables = voc_model
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    boxes, scores = model.apply(variables, x, train=False)
+    dets = np.asarray(flatten_detections(boxes, scores))
+    n = boxes.shape[1]
+    # class-major order: block c covers rows [c*n, (c+1)*n)
+    assert (dets[0, :n, 0] == 0).all()
+    assert (dets[0, n : 2 * n, 0] == 1).all()
+    np.testing.assert_allclose(dets[0, n : 2 * n, 2:], np.asarray(boxes)[0], rtol=1e-6)
+
+
+def test_decode_center_in_bounds(voc_model):
+    """Anchor decode sanity: box centers must lie within the image for any
+    logits (sigmoid bounds sub-cell offsets)."""
+    model, variables = voc_model
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 160, 160, 3)) * 3
+    boxes, _ = model.apply(variables, x, train=False)
+    centers = np.asarray((boxes[..., :2] + boxes[..., 2:]) / 2)
+    assert centers.min() >= 0.0
+    assert centers.max() <= 160.0

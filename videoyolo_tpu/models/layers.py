@@ -1,0 +1,337 @@
+"""Primitive layers (flax/linen, NHWC, TPU-first).
+
+Capability parity with `/root/reference/models/definitions/layers.py` (the
+`_conv1d/_conv2d/_conv3d/_conv21d` conv-BN-LeakyReLU cells, `_upsample`,
+`TemporalPooling`, `TimeDistributed`, `Corr`, `RNN`), re-designed for TPU:
+
+* NHWC / NTHWC layouts (channel-last feeds the MXU without transposes);
+* BatchNorm uses eps=1e-5, momentum=0.9 exactly like the reference cells
+  (layers.py:57-88).  Under `pjit` the batch axis is globally sharded, so
+  batch statistics are *global-batch* statistics by construction — this is
+  the TPU-native equivalent of the reference's NCCL SyncBatchNorm
+  (train_yolov3.py:338,352).
+* `TimeDistributed` is a reshape (B,T,...)->(B*T,...) around the wrapped
+  module — the fold/unfold trick of layers.py:208-264, which on TPU is free
+  (pure layout metadata) and keeps convs large and batched for the MXU.
+* Temporal padding/pooling are static-shape jnp ops (layers.py:23-46,161-205).
+* The conv-RNN (layers.py:267-306) becomes a `lax.scan`-unrolled ConvGRU /
+  ConvLSTM with optional bidirectionality (averaged directions).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.9
+LEAKY_SLOPE = 0.1
+
+
+def leaky(x):
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def upsample2x(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample by pixel repetition (layers.py:11-20).
+
+    x: (..., H, W, C) channel-last.
+    """
+    x = jnp.repeat(x, stride, axis=-3)
+    x = jnp.repeat(x, stride, axis=-2)
+    return x
+
+
+def temporal_pad(x: jnp.ndarray, padding: int = 1, zeros: bool = True) -> jnp.ndarray:
+    """Pad (B, T, ...) along T by edge-repeat or zeros (layers.py:23-46)."""
+    first = x[:, :1]
+    last = x[:, -1:]
+    if zeros:
+        first = jnp.zeros_like(first)
+        last = jnp.zeros_like(last)
+    if padding > 1:
+        first = jnp.repeat(first, padding, axis=1)
+        last = jnp.repeat(last, padding, axis=1)
+    return jnp.concatenate([first, x, last], axis=1)
+
+
+class ConvBNLeaky(nn.Module):
+    """The conv-BN-LeakyReLU(0.1) cell used everywhere (layers.py:63-70).
+
+    NHWC; no conv bias; BN eps 1e-5 / momentum 0.9.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int | str = "auto"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if pad == "auto":
+            pad = self.kernel // 2
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        return leaky(x)
+
+
+class ConvBNLeaky3D(nn.Module):
+    """3D conv-BN-leaky cell over (B, T, H, W, C) (layers.py:73-80)."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Optional[Tuple[int, int, int]] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kt, kh, kw = self.kernel
+        pad = self.padding
+        if pad is None:
+            pad = (kt // 2, kh // 2, kw // 2)
+        pads = [(p, p) for p in pad]
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.stride,
+            padding=pads,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        return leaky(x)
+
+
+class Conv21D(nn.Module):
+    """R(2+1)D factored conv: (1,d,d) spatial then (t,1,1) temporal
+    (layers.py:83-89); each half is its own conv-BN-leaky cell."""
+
+    features: int
+    kernel: int = 3  # used for both t and d, as in layers.py Conv dispatcher
+    mid: Optional[int] = None
+    padding: int = 1
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        m = self.mid if self.mid is not None else self.features
+        x = ConvBNLeaky3D(
+            m,
+            kernel=(1, self.kernel, self.kernel),
+            stride=(1, self.stride, self.stride),
+            padding=(0, self.padding, self.padding),
+            dtype=self.dtype,
+        )(x, train)
+        x = ConvBNLeaky3D(
+            self.features,
+            kernel=(self.kernel, 1, 1),
+            stride=(self.stride, 1, 1),
+            padding=(self.padding, 0, 0),
+            dtype=self.dtype,
+        )(x, train)
+        return x
+
+
+class Conv1DTemporal(nn.Module):
+    """Grouped temporal conv (k,1,1) + BN + leaky, zero-init weights
+    (layers.py:50-60): a depthwise conv over the time axis used to merge
+    temporal groups."""
+
+    features: int
+    kernel: int = 3
+    padding: int = 0
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, T, H, W, C) with C == features; depthwise over time.
+        x = nn.Conv(
+            self.features,
+            (self.kernel, 1, 1),
+            strides=(self.stride, 1, 1),
+            padding=[(self.padding, self.padding), (0, 0), (0, 0)],
+            feature_group_count=self.features,
+            use_bias=False,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        return leaky(x)
+
+
+class TemporalPooling(nn.Module):
+    """Max/mean pool over the time axis of (B, T, ...) (layers.py:161-205).
+
+    `pool_size`/`strides` give the windowed 'layer' style; default collapses
+    the whole window ('direct' style).
+    """
+
+    type: str = "max"
+    pool_size: Optional[int] = None
+    strides: Optional[int] = None
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.type in ("max", "mean")
+        if self.pool_size is None:
+            if self.type == "max":
+                return jnp.max(x, axis=1)
+            return jnp.mean(x, axis=1)
+        # windowed pooling over time, keeping remaining dims
+        window = self.pool_size
+        stride = self.strides or window
+        reducer = jax.lax.max if self.type == "max" else jax.lax.add
+        init = -jnp.inf if self.type == "max" else 0.0
+        dims = (1, window) + (1,) * (x.ndim - 2)
+        strides = (1, stride) + (1,) * (x.ndim - 2)
+        pads = ((0, 0), (self.padding, self.padding)) + ((0, 0),) * (x.ndim - 2)
+        out = jax.lax.reduce_window(x, init, reducer, dims, strides, pads)
+        if self.type == "mean":
+            out = out / window
+        return out
+
+
+def time_distributed(module_call: Callable, x: jnp.ndarray, *args, **kwargs):
+    """Apply `module_call` over every timestep of (B, T, ...) by folding the
+    time axis into the batch (layers.py:208-264, 'reshape1' style).
+
+    Returns outputs with (B, T, ...) leading dims (handles tuple outputs).
+    """
+    b, t = x.shape[0], x.shape[1]
+    folded = x.reshape((b * t,) + x.shape[2:])
+    out = module_call(folded, *args, **kwargs)
+
+    def unfold(y):
+        return y.reshape((b, t) + y.shape[1:])
+
+    if isinstance(out, tuple):
+        return tuple(unfold(o) for o in out)
+    if isinstance(out, list):
+        return [unfold(o) for o in out]
+    return unfold(out)
+
+
+class ConvGRUCell(nn.Module):
+    """Conv2D GRU cell (NHWC), equivalent of gluon Conv2DGRUCell used by the
+    reference RNN layer (layers.py:283-296)."""
+
+    channels: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, h, x):
+        pad = (self.kernel[0] // 2, self.kernel[1] // 2)
+        conv = lambda name: nn.Conv(
+            3 * self.channels,
+            self.kernel,
+            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            name=name,
+            dtype=self.dtype,
+        )
+        i2h = conv("i2h")(x)
+        h2h = conv("h2h")(h)
+        ir, iz, inn = jnp.split(i2h, 3, axis=-1)
+        hr, hz, hn = jnp.split(h2h, 3, axis=-1)
+        r = jax.nn.sigmoid(ir + hr)
+        z = jax.nn.sigmoid(iz + hz)
+        n = jnp.tanh(inn + r * hn)
+        return (1.0 - z) * n + z * h
+
+
+class ConvLSTMCell(nn.Module):
+    """Conv2D LSTM cell (NHWC), equivalent of gluon Conv2DLSTMCell."""
+
+    channels: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h, c = carry
+        pad = (self.kernel[0] // 2, self.kernel[1] // 2)
+        conv = lambda name: nn.Conv(
+            4 * self.channels,
+            self.kernel,
+            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            name=name,
+            dtype=self.dtype,
+        )
+        gates = conv("i2h")(x) + conv("h2h")(h)
+        i, f, o, g = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new)
+
+
+class ConvRNN(nn.Module):
+    """k-step conv-GRU/LSTM over (B, T, H, W, C), optionally bidirectional
+    with averaged directions (layers.py:267-306).  Returns (B, T, H, W, C')."""
+
+    channels: int
+    kernel: Tuple[int, int] = (3, 3)
+    type: str = "gru"
+    bi: bool = True
+    dtype: Optional[Dtype] = None
+
+    def _run(self, cell, x):
+        b, t = x.shape[0], x.shape[1]
+        spatial = x.shape[2:4]
+        if self.type == "gru":
+            carry = jnp.zeros((b,) + spatial + (self.channels,), x.dtype)
+        else:
+            z = jnp.zeros((b,) + spatial + (self.channels,), x.dtype)
+            carry = (z, z)
+        outs = []
+        for i in range(t):
+            carry = cell(carry, x[:, i])
+            outs.append(carry[0] if isinstance(carry, tuple) else carry)
+        return jnp.stack(outs, axis=1)
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.type in ("gru", "lstm")
+        cell_cls = ConvGRUCell if self.type == "gru" else ConvLSTMCell
+        fwd = cell_cls(self.channels, self.kernel, dtype=self.dtype, name="fwd")
+        out = self._run(fwd, x)
+        if self.bi:
+            bwd = cell_cls(self.channels, self.kernel, dtype=self.dtype, name="bwd")
+            out_b = self._run(bwd, x[:, ::-1])[:, ::-1]
+            out = (out + out_b) / 2.0
+        return out

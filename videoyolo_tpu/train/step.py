@@ -1,0 +1,165 @@
+"""The jitted train/eval steps — single program over the device mesh.
+
+TPU-native equivalent of the reference's per-batch loop
+(`/root/reference/train_yolov3.py:587-655`): split_and_load + per-device
+autograd + Trainer(kvstore='local').step becomes ONE pjit-compiled function:
+the batch arrives sharded over the mesh's "data" axis, the forward/backward
+runs SPMD, and XLA inserts the gradient/BN-stat all-reduces over ICI.
+
+Also folds the reference's CPU-worker target prefetch
+(yolo/transforms.py:103-106) into the step itself — targets are generated
+on-device from the (padded) gt boxes (ops/targets.py), so the input pipeline
+only ships images + labels.
+
+Optimizer parity: SGD with momentum 0.9 and coupled weight decay 5e-4
+(gluon Trainer 'sgd' defaults used at train_yolov3.py:527-530); gradients are
+rescaled by 1/batch_size like Trainer.step(batch_size) (:633-636).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..ops.losses import yolo3_loss
+from ..ops.targets import merge_targets, prefetch_targets
+from ..models.yolo3 import postprocess
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def make_optimizer(
+    lr_fn: Callable,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+    no_wd_bn: bool = False,
+) -> optax.GradientTransformation:
+    """SGD+momentum+coupled-L2, reference defaults (train_yolov3.py:77-85)."""
+    parts = []
+    if weight_decay:
+        if no_wd_bn:
+            # exclude BN scale/bias (flax names them 'scale'/'bias')
+            mask = lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: not any(
+                    getattr(k, "key", None) in ("scale", "bias") for k in path
+                ),
+                params,
+            )
+            parts.append(optax.add_decayed_weights(weight_decay, mask=mask))
+        else:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.sgd(learning_rate=lr_fn, momentum=momentum))
+    return optax.chain(*parts)
+
+
+def create_train_state(model, variables, lr_fn, momentum=0.9, weight_decay=5e-4):
+    tx = make_optimizer(lr_fn, momentum, weight_decay)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model,
+    input_hw: Tuple[int, int],
+    num_classes: int,
+    ignore_iou_thresh: float = 0.7,
+    label_smooth: bool = False,
+    mixup: bool = False,
+    dtype=None,
+):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: dict with
+      image      (B, H, W, 3)  normalized
+      gt_boxes   (B, M, 4)     corner pixels, -1 padded
+      gt_ids     (B, M, 1)     or (B, M, C) multi-hot
+      gt_mix     (B, M, 1)     optional (mixup)
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        tg = prefetch_targets(
+            batch["gt_boxes"],
+            batch["gt_ids"],
+            batch.get("gt_mix") if mixup else None,
+            input_hw=input_hw,
+            num_classes=num_classes,
+        )
+        merged = merge_targets(
+            out["bbox"],
+            batch["gt_boxes"],
+            *tg,
+            num_classes=num_classes,
+            ignore_iou_thresh=ignore_iou_thresh,
+            label_smooth=label_smooth,
+        )
+        losses = yolo3_loss(
+            out["objness"], out["raw_centers"], out["raw_scales"], out["class_pred"], *merged
+        )
+        # Trainer.step(batch_size) semantics: mean of per-sample loss sums.
+        per_sample = losses["obj"] + losses["center"] + losses["scale"] + losses["cls"]
+        total = jnp.mean(per_sample)
+        metrics = {k: jnp.mean(v) for k, v in losses.items()}
+        return total, (mutated["batch_stats"], metrics)
+
+    def train_step(state: TrainState, batch):
+        (total, (new_bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_bs)
+        metrics["total"] = total
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model,
+    nms_thresh: float = 0.45,
+    nms_topk: int = 400,
+    post_nms: int = 100,
+):
+    """Returns eval_step(params, batch_stats, images) -> (ids, scores, bboxes),
+    the reference validate() device program (train_yolov3.py:434-490)."""
+
+    def eval_step(params, batch_stats, images):
+        boxes, scores = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        return postprocess(
+            boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms
+        )
+
+    return eval_step
