@@ -1,0 +1,122 @@
+"""Hand-computed golden tests for the VOC mAP metrics."""
+import numpy as np
+
+from videoyolo_tpu.metrics import VOC07MApMetric, VOCMApMetric, VOCMApMetricTemporal
+
+
+def _update_single(metric, preds, gts, difficults=None):
+    """preds: (N,6) rows (cls, score, x1,y1,x2,y2); gts: (M,5) rows (x1..y2, cls)."""
+    pred_bboxes = preds[None, :, 2:6]
+    pred_labels = preds[None, :, 0]
+    pred_scores = preds[None, :, 1]
+    gt_bboxes = gts[None, :, :4]
+    gt_labels = gts[None, :, 4]
+    gt_diff = None if difficults is None else difficults[None]
+    metric.update(pred_bboxes, pred_labels, pred_scores, gt_bboxes, gt_labels, gt_diff)
+
+
+def test_perfect_detection_ap_1():
+    m = VOCMApMetric(iou_thresh=0.5, class_names=["a", "b"])
+    preds = np.array([[0, 0.9, 10, 10, 50, 50]], np.float64)
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)
+    _update_single(m, preds, gts)
+    names, values = m.get()
+    assert names[-1] == "mAP"
+    np.testing.assert_allclose(values[0], 1.0)
+    np.testing.assert_allclose(values[-1], 1.0)  # class b has no gt -> nan excluded
+
+
+def test_false_positive_halves_precision():
+    m = VOCMApMetric(iou_thresh=0.5, class_names=["a"])
+    preds = np.array(
+        [[0, 0.9, 10, 10, 50, 50], [0, 0.8, 200, 200, 250, 250]], np.float64
+    )
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)
+    _update_single(m, preds, gts)
+    _, values = m.get()
+    # TP at rank1 (P=1, R=1), FP at rank2: integrated AP = 1.0
+    np.testing.assert_allclose(values[0], 1.0)
+
+    m.reset()
+    preds = np.array(
+        [[0, 0.9, 200, 200, 250, 250], [0, 0.8, 10, 10, 50, 50]], np.float64
+    )
+    _update_single(m, preds, gts)
+    _, values = m.get()
+    # FP first: P at R=1 is 0.5 -> AP 0.5
+    np.testing.assert_allclose(values[0], 0.5)
+
+
+def test_duplicate_detection_is_fp():
+    m = VOCMApMetric(iou_thresh=0.5, class_names=["a"])
+    preds = np.array(
+        [[0, 0.9, 10, 10, 50, 50], [0, 0.8, 11, 11, 50, 50]], np.float64
+    )
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)
+    _update_single(m, preds, gts)
+    _, values = m.get()
+    np.testing.assert_allclose(values[0], 1.0)  # dup is FP after R=1 -> AP unaffected
+    assert m._match[0] == [1, 0]
+
+
+def test_difficult_gt_ignored():
+    m = VOCMApMetric(iou_thresh=0.5, class_names=["a"])
+    preds = np.array([[0, 0.9, 10, 10, 50, 50]], np.float64)
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)
+    _update_single(m, preds, gts, difficults=np.array([1.0]))
+    _, values = m.get()
+    # matched to a difficult gt: match=-1, n_pos=0 -> AP nan
+    assert np.isnan(values[0])
+    assert m._match[0] == [-1]
+
+
+def test_low_iou_is_fp():
+    m = VOCMApMetric(iou_thresh=0.5, class_names=["a"])
+    preds = np.array([[0, 0.9, 10, 10, 30, 30]], np.float64)
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)
+    _update_single(m, preds, gts)
+    _, values = m.get()
+    np.testing.assert_allclose(values[0], 0.0)
+
+
+def test_voc07_eleven_point():
+    m = VOC07MApMetric(iou_thresh=0.5, class_names=["a"])
+    preds = np.array(
+        [[0, 0.9, 200, 200, 250, 250], [0, 0.8, 10, 10, 50, 50]], np.float64
+    )
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)
+    _update_single(m, preds, gts)
+    _, values = m.get()
+    # P=0.5 at all recall points -> 11-point AP = 0.5
+    np.testing.assert_allclose(values[0], 0.5, atol=1e-6)
+
+
+def test_class_map_remaps_gt():
+    # model predicts in a 2-class space; eval set classes map into it
+    m = VOCMApMetric(iou_thresh=0.5, class_names=["x", "y"], class_map=[1, 0])
+    preds = np.array([[1, 0.9, 10, 10, 50, 50]], np.float64)
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)  # eval class 0 -> model class 1
+    _update_single(m, preds, gts)
+    names, values = m.get()
+    np.testing.assert_allclose(values[0], 1.0)  # class x reads model class 1's AP
+
+
+def test_streaming_accumulation():
+    m = VOCMApMetric(iou_thresh=0.5, class_names=["a"])
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)
+    _update_single(m, np.array([[0, 0.9, 10, 10, 50, 50]], np.float64), gts)
+    _update_single(m, np.array([[0, 0.8, 200, 200, 250, 250]], np.float64), gts)
+    _, values = m.get()
+    # 2 gts, 1 TP, 1 FP: recall maxes at 0.5 with P=1 -> AP 0.5
+    np.testing.assert_allclose(values[0], 0.5)
+
+
+def test_temporal_metric():
+    m = VOCMApMetricTemporal(t=2, iou_thresh=0.5, class_names=["a"])
+    preds = np.array([[0, 0.9, 10, 10, 50, 50]], np.float64)
+    gts = np.array([[10, 10, 50, 50, 0]], np.float64)
+    m.update_t(0, preds[None, :, 2:6], preds[None, :, 0], preds[None, :, 1],
+               gts[None, :, :4], gts[None, :, 4])
+    names, values = m.get()
+    assert any(n.startswith("t0:") for n in names)
+    assert any(n.startswith("t1:") for n in names)

@@ -1,0 +1,443 @@
+"""Host-side image/video/bbox augmentations + the YOLO3 transform pipelines.
+
+Capability parity with:
+  * `/root/reference/models/transforms/bbox.py` — crop/flip/resize/translate
+    and SSD-style `random_crop_with_constraints`, all accepting a single
+    (N,4+) array OR a list-per-timestep;
+  * `/root/reference/models/transforms/video.py` — video-volume (K,H,W,C)
+    `random_expand` and `random_color_distort`;
+  * `/root/reference/models/definitions/yolo/transforms.py` — the
+    `YOLO3Default{Train,Inference}Transform` and
+    `YOLO3Video{Train,Inference}Transform` pipelines (one sampled augmentation
+    applied consistently across all k frames, :227-242).
+
+TPU-first difference: the reference transforms also ran the training target
+generator in CPU workers (transforms.py:103-106); here target generation is
+on-device inside the jitted train step (ops/targets.py), so transforms return
+only (image, boxes).  Images come out HWC (or KHWC) float32, normalized.
+"""
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Sequence, Tuple, Union
+
+import cv2
+import numpy as np
+
+from ..ops.bbox import np_bbox_iou
+
+MEAN = (0.485, 0.456, 0.406)
+STD = (0.229, 0.224, 0.225)
+
+Boxes = Union[np.ndarray, List[np.ndarray]]
+
+_INTERPS = {
+    0: cv2.INTER_NEAREST,
+    1: cv2.INTER_LINEAR,
+    2: cv2.INTER_CUBIC,
+    3: cv2.INTER_AREA,
+    4: cv2.INTER_LANCZOS4,
+}
+
+
+def imresize(img: np.ndarray, width: int, height: int, interp: int = 1) -> np.ndarray:
+    """cv2 resize with mxnet-style interp codes (9 = auto area/cubic)."""
+    if interp == 9:
+        interp = 3 if (img.shape[0] > height or img.shape[1] > width) else 2
+    if interp == 10:
+        interp = random.randint(0, 4)
+    return cv2.resize(img, (width, height), interpolation=_INTERPS[interp])
+
+
+# --------------------------------------------------------------------------
+# bbox transforms (list-per-timestep aware, like models/transforms/bbox.py)
+# --------------------------------------------------------------------------
+
+def _listify(bboxs: Boxes):
+    if isinstance(bboxs, list):
+        return bboxs, False
+    return [bboxs], True
+
+
+def bbox_crop(bboxs: Boxes, crop_box=None, allow_outside_center: bool = True) -> Boxes:
+    """Crop boxes to a (x, y, w, h) region (bbox.py:131-198)."""
+    boxes_list, single = _listify(bboxs)
+    out = []
+    for bbox in boxes_list:
+        bbox = bbox.copy()
+        if crop_box is None or all(c is None for c in crop_box):
+            out.append(bbox)
+            continue
+        l, t, w, h = crop_box
+        left = l or 0
+        top = t or 0
+        right = left + (w if w else np.inf)
+        bottom = top + (h if h else np.inf)
+        crop_bbox = np.array((left, top, right, bottom))
+        if allow_outside_center:
+            mask = np.ones(bbox.shape[0], dtype=bool)
+        else:
+            centers = (bbox[:, :2] + bbox[:, 2:4]) / 2
+            mask = np.logical_and(crop_bbox[:2] <= centers, centers < crop_bbox[2:]).all(axis=1)
+        bbox[:, :2] = np.maximum(bbox[:, :2], crop_bbox[:2])
+        bbox[:, 2:4] = np.minimum(bbox[:, 2:4], crop_bbox[2:4])
+        bbox[:, :2] -= crop_bbox[:2]
+        bbox[:, 2:4] -= crop_bbox[:2]
+        mask = np.logical_and(mask, (bbox[:, :2] < bbox[:, 2:4]).all(axis=1))
+        out.append(bbox[mask])
+    return out[0] if single else out
+
+
+def bbox_flip(bboxs: Boxes, size, flip_x: bool = False, flip_y: bool = False) -> Boxes:
+    width, height = size
+    boxes_list, single = _listify(bboxs)
+    out = []
+    for bbox in boxes_list:
+        bbox = bbox.copy()
+        if flip_y:
+            ymax = height - bbox[:, 1]
+            ymin = height - bbox[:, 3]
+            bbox[:, 1], bbox[:, 3] = ymin, ymax
+        if flip_x:
+            xmax = width - bbox[:, 0]
+            xmin = width - bbox[:, 2]
+            bbox[:, 0], bbox[:, 2] = xmin, xmax
+        out.append(bbox)
+    return out[0] if single else out
+
+
+def bbox_resize(bboxs: Boxes, in_size, out_size) -> Boxes:
+    boxes_list, single = _listify(bboxs)
+    x_scale = out_size[0] / in_size[0]
+    y_scale = out_size[1] / in_size[1]
+    out = []
+    for bbox in boxes_list:
+        bbox = bbox.copy()
+        bbox[:, 0] *= x_scale
+        bbox[:, 2] *= x_scale
+        bbox[:, 1] *= y_scale
+        bbox[:, 3] *= y_scale
+        out.append(bbox)
+    return out[0] if single else out
+
+
+def bbox_translate(bboxs: Boxes, x_offset=0, y_offset=0) -> Boxes:
+    boxes_list, single = _listify(bboxs)
+    out = []
+    for bbox in boxes_list:
+        bbox = bbox.copy()
+        bbox[:, :2] += (x_offset, y_offset)
+        bbox[:, 2:4] += (x_offset, y_offset)
+        out.append(bbox)
+    return out[0] if single else out
+
+
+def random_crop_with_constraints(
+    bboxs: Boxes,
+    size,
+    min_scale: float = 0.3,
+    max_scale: float = 1.0,
+    max_aspect_ratio: float = 2.0,
+    constraints=None,
+    max_trial: int = 50,
+):
+    """SSD-style min-IoU constrained random crop (bbox.py:13-128)."""
+    if constraints is None:
+        constraints = ((0.1, None), (0.3, None), (0.5, None), (0.7, None), (0.9, None), (None, 1))
+    w, h = size
+    boxes_list, single = _listify(bboxs)
+
+    candidates = [(0, 0, w, h)]
+    for min_iou, max_iou in constraints:
+        min_iou = -np.inf if min_iou is None else min_iou
+        max_iou = np.inf if max_iou is None else max_iou
+        for _ in range(max_trial):
+            scale = random.uniform(min_scale, max_scale)
+            aspect_ratio = random.uniform(
+                max(1 / max_aspect_ratio, scale * scale),
+                min(max_aspect_ratio, 1 / (scale * scale)),
+            )
+            crop_h = int(h * scale / np.sqrt(aspect_ratio))
+            crop_w = int(w * scale * np.sqrt(aspect_ratio))
+            if h - crop_h <= 0 or w - crop_w <= 0:
+                continue
+            crop_t = random.randrange(h - crop_h)
+            crop_l = random.randrange(w - crop_w)
+            crop_bb = np.array((crop_l, crop_t, crop_l + crop_w, crop_t + crop_h))
+
+            if all(len(bbox) == 0 for bbox in boxes_list):
+                out = boxes_list[0] if single else boxes_list
+                return out, (crop_l, crop_t, crop_w, crop_h)
+
+            ok = True
+            for bbox in boxes_list:
+                if len(bbox) == 0:
+                    continue
+                iou = np_bbox_iou(bbox[:, :4], crop_bb[np.newaxis])
+                if min_iou > iou.min() or iou.max() > max_iou:
+                    ok = False
+                    break
+            if ok:
+                candidates.append((crop_l, crop_t, crop_w, crop_h))
+                break
+
+    while candidates:
+        crop_b = candidates.pop(np.random.randint(0, len(candidates)))
+        new_bboxs = bbox_crop(
+            boxes_list if not single else boxes_list[0], crop_b, allow_outside_center=False
+        )
+        check = [new_bboxs] if single else new_bboxs
+        if any(nb.size < 1 for nb in check):
+            continue
+        return new_bboxs, tuple(crop_b)
+    out = boxes_list[0] if single else boxes_list
+    return out, (0, 0, w, h)
+
+
+# --------------------------------------------------------------------------
+# image / video-volume transforms (video.py:12-158)
+# --------------------------------------------------------------------------
+
+def random_expand(src: np.ndarray, max_ratio: float = 4, fill=0, keep_ratio: bool = True):
+    """Place the image (HWC) or volume (KHWC) on a larger filled canvas.
+    Returns (dst, (off_x, off_y, new_w, new_h))."""
+    squeeze = src.ndim == 3
+    if squeeze:
+        src = src[None]
+    if max_ratio <= 1:
+        out = src[0] if squeeze else src
+        return out, (0, 0, src.shape[2], src.shape[1])
+    k, h, w, c = src.shape
+    ratio_x = random.uniform(1, max_ratio)
+    ratio_y = ratio_x if keep_ratio else random.uniform(1, max_ratio)
+    oh, ow = int(h * ratio_y), int(w * ratio_x)
+    off_y = random.randint(0, oh - h)
+    off_x = random.randint(0, ow - w)
+    if np.isscalar(fill):
+        dst = np.full((k, oh, ow, c), fill, dtype=src.dtype)
+    else:
+        dst = np.broadcast_to(
+            np.asarray(fill, dtype=src.dtype).reshape(1, 1, 1, c), (k, oh, ow, c)
+        ).copy()
+    dst[:, off_y : off_y + h, off_x : off_x + w, :] = src
+    out = dst[0] if squeeze else dst
+    return out, (off_x, off_y, ow, oh)
+
+
+def random_color_distort(
+    src: np.ndarray,
+    brightness_delta: int = 32,
+    contrast_low: float = 0.5,
+    contrast_high: float = 1.5,
+    saturation_low: float = 0.5,
+    saturation_high: float = 1.5,
+    hue_delta: int = 18,
+) -> np.ndarray:
+    """Photometric distortion in [0,255] space; HWC or KHWC (one sampled
+    parameter set applies to the whole volume, video.py:68-158)."""
+    src = src.astype(np.float32)
+
+    def brightness(x):
+        if np.random.uniform() > 0.5:
+            x += np.random.uniform(-brightness_delta, brightness_delta)
+        return x
+
+    def contrast(x):
+        if np.random.uniform() > 0.5:
+            x *= np.random.uniform(contrast_low, contrast_high)
+        return x
+
+    def saturation(x):
+        if np.random.uniform() > 0.5:
+            alpha = np.random.uniform(saturation_low, saturation_high)
+            gray = (x * np.array([0.299, 0.587, 0.114], np.float32)).sum(-1, keepdims=True)
+            x = x * alpha + gray * (1.0 - alpha)
+        return x
+
+    def hue(x):
+        if np.random.uniform() > 0.5:
+            alpha = random.uniform(-hue_delta, hue_delta)
+            u = np.cos(alpha * np.pi)
+            w_ = np.sin(alpha * np.pi)
+            bt = np.array([[1.0, 0.0, 0.0], [0.0, u, -w_], [0.0, w_, u]])
+            tyiq = np.array(
+                [[0.299, 0.587, 0.114], [0.596, -0.274, -0.321], [0.211, -0.523, 0.311]]
+            )
+            ityiq = np.array([[1.0, 0.956, 0.621], [1.0, -0.272, -0.647], [1.0, -1.107, 1.705]])
+            t = (ityiq @ bt @ tyiq).T.astype(np.float32)
+            x = x @ t
+        return x
+
+    src = brightness(src)
+    if np.random.randint(0, 2):
+        src = contrast(src)
+        src = saturation(src)
+        src = hue(src)
+    else:
+        src = saturation(src)
+        src = hue(src)
+        src = contrast(src)
+    return src
+
+
+def to_normalized(img: np.ndarray, mean=MEAN, std=STD) -> np.ndarray:
+    """[0,255] HWC/KHWC -> normalized float32 (channel-last, TPU layout)."""
+    img = img.astype(np.float32) / 255.0
+    return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+# --------------------------------------------------------------------------
+# YOLO3 pipelines (yolo/transforms.py)
+# --------------------------------------------------------------------------
+
+class YOLO3DefaultTrainTransform:
+    """Color distort -> random expand (p=.5) -> constrained crop -> resize
+    (random interp) -> random flip -> normalize (transforms.py:60-107)."""
+
+    def __init__(self, width, height, mean=MEAN, std=STD, mixup=False):
+        self._width = width
+        self._height = height
+        self._mean = mean
+        self._std = std
+        self._mixup = mixup
+
+    def __call__(self, src, label):
+        img = random_color_distort(src)
+        if np.random.uniform() > 0.5:
+            img, expand = random_expand(img, fill=[m * 255 for m in self._mean])
+            bbox = bbox_translate(label, x_offset=expand[0], y_offset=expand[1])
+        else:
+            img, bbox = img, label.copy()
+        h, w, _ = img.shape
+        bbox, crop = random_crop_with_constraints(bbox, (w, h))
+        x0, y0, cw, ch = [int(c) for c in crop]
+        img = img[y0 : y0 + ch, x0 : x0 + cw]
+        h, w, _ = img.shape
+        interp = np.random.randint(0, 5)
+        img = imresize(img, self._width, self._height, interp=interp)
+        bbox = bbox_resize(bbox, (w, h), (self._width, self._height))
+        if np.random.uniform() > 0.5:
+            img = img[:, ::-1, :]
+            bbox = bbox_flip(bbox, (self._width, self._height), flip_x=True)
+        img = to_normalized(np.ascontiguousarray(img), self._mean, self._std)
+        return img, bbox.astype(np.float32)
+
+
+class YOLO3DefaultInferenceTransform:
+    """Resize (interp 9) + normalize (transforms.py:110-140)."""
+
+    def __init__(self, width, height, mean=MEAN, std=STD):
+        self._width = width
+        self._height = height
+        self._mean = mean
+        self._std = std
+
+    def __call__(self, src, label, idx=None):
+        h, w, _ = src.shape
+        img = imresize(src, self._width, self._height, interp=9)
+        bbox = bbox_resize(label, (w, h), (self._width, self._height))
+        img = to_normalized(img, self._mean, self._std)
+        if idx is not None:
+            return img, bbox.astype(np.float32), idx
+        return img, bbox.astype(np.float32)
+
+
+class YOLO3VideoTrainTransform:
+    """Video version: ONE sampled augmentation applied consistently across
+    all k frames (transforms.py:143-294).  src: (K,H,W,C); label: (N,4+) for
+    the key frame or list of per-frame labels when `mult_out`."""
+
+    def __init__(self, k, width, height, mean=MEAN, std=STD, mixup=False):
+        self._k = k
+        self._width = width
+        self._height = height
+        self._mean = mean
+        self._std = std
+        self._mixup = mixup
+
+    def __call__(self, src, label):
+        imgs = random_color_distort(src)
+        if np.random.uniform() > 0.5:
+            imgs, expand = random_expand(imgs, fill=[m * 255 for m in self._mean])
+            bbox = bbox_translate(label, x_offset=expand[0], y_offset=expand[1])
+        else:
+            imgs, bbox = imgs, label
+        k, h, w, _ = imgs.shape
+        bbox, crop = random_crop_with_constraints(bbox, (w, h))
+        x0, y0, cw, ch = [int(c) for c in crop]
+        imgs = imgs[:, y0 : y0 + ch, x0 : x0 + cw]
+        k, h, w, _ = imgs.shape
+        interp = np.random.randint(0, 5)
+        imgs = np.stack([imresize(f, self._width, self._height, interp=interp) for f in imgs])
+        bbox = bbox_resize(bbox, (w, h), (self._width, self._height))
+        if np.random.uniform() > 0.5:
+            imgs = imgs[:, :, ::-1, :]
+            bbox = bbox_flip(bbox, (self._width, self._height), flip_x=True)
+        imgs = to_normalized(np.ascontiguousarray(imgs), self._mean, self._std)
+        if isinstance(bbox, list):
+            return imgs, [b.astype(np.float32) for b in bbox]
+        return imgs, bbox.astype(np.float32)
+
+
+class YOLO3VideoInferenceTransform:
+    """Resize + normalize for (K,H,W,C) volumes (transforms.py:297-350)."""
+
+    def __init__(self, width, height, mean=MEAN, std=STD):
+        self._width = width
+        self._height = height
+        self._mean = mean
+        self._std = std
+
+    def __call__(self, src, label, idx=None):
+        k, h, w, _ = src.shape
+        imgs = np.stack([imresize(f, self._width, self._height, interp=9) for f in src])
+        bbox = bbox_resize(label, (w, h), (self._width, self._height))
+        imgs = to_normalized(imgs, self._mean, self._std)
+        if isinstance(bbox, list):
+            bbox = [b.astype(np.float32) for b in bbox]
+        else:
+            bbox = bbox.astype(np.float32)
+        if idx is not None:
+            return imgs, bbox, idx
+        return imgs, bbox
+
+
+class MixupDetection:
+    """Dataset wrapper: beta(alpha,beta)-mixed image pairs with the mix ratio
+    appended as the label's last column (gluoncv MixupDetection semantics,
+    used at train_yolov3.py:227-229 via --mixup)."""
+
+    def __init__(self, dataset, mixup_alpha: float = 1.5, mixup_beta: float = 1.5):
+        self._dataset = dataset
+        self._alpha = mixup_alpha
+        self._beta = mixup_beta
+        self._enabled = True
+
+    def set_mixup(self, enabled: bool):
+        # reference disables mixup for the final no_mixup_epochs (train_yolov3.py:574-580)
+        self._enabled = enabled
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def __getattr__(self, item):
+        return getattr(self._dataset, item)
+
+    def __getitem__(self, idx):
+        img1, label1 = self._dataset[idx][:2]
+        label1 = np.hstack((label1, np.full((label1.shape[0], 1), 1.0, label1.dtype)))
+        if not self._enabled:
+            return img1, label1
+        lambd = max(0.0, min(1.0, np.random.beta(self._alpha, self._beta)))
+        if lambd >= 1:
+            return img1, label1
+        idx2 = np.random.randint(0, len(self._dataset))
+        img2, label2 = self._dataset[idx2][:2]
+        height = max(img1.shape[0], img2.shape[0])
+        width = max(img1.shape[1], img2.shape[1])
+        mix_img = np.zeros((height, width, 3), np.float32)
+        mix_img[: img1.shape[0], : img1.shape[1]] += img1.astype(np.float32) * lambd
+        mix_img[: img2.shape[0], : img2.shape[1]] += img2.astype(np.float32) * (1 - lambd)
+        label1[:, -1] = lambd
+        label2 = np.hstack((label2, np.full((label2.shape[0], 1), 1 - lambd, label2.dtype)))
+        return mix_img.astype(img1.dtype), np.vstack((label1, label2))

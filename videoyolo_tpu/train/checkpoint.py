@@ -1,0 +1,122 @@
+"""Checkpointing with the reference's save/resume/best/GC policies.
+
+Capability parity with `/root/reference/train_yolov3.py`:
+  * `save_params` (:289-309): always write `<prefix>_best.params` on val-mAP
+    improvement and append to `<prefix>_best_map.log`; positive
+    `save_interval` saves every N epochs; NEGATIVE interval saves every epoch
+    then garbage-collects all but every |N|th;
+  * `resume` (:312-329): explicit file, or `start_epoch=-1` auto-finds the
+    latest `*_0*.params` in the experiment dir.
+
+Format: flax msgpack of {params, batch_stats[, opt_state, step]} — a single
+`.params` file like the reference's gluon param files.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+from flax import serialization
+
+__all__ = ["save_variables", "load_variables", "save_params", "resume_params", "find_latest"]
+
+
+def save_variables(path: str, variables: Dict[str, Any]) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = serialization.to_bytes(
+        {k: serialization.to_state_dict(v) for k, v in variables.items()}
+    )
+    with open(path, "wb") as f:
+        f.write(payload)
+    return path
+
+
+def load_variables(path: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if template is not None:
+        tmpl = {k: serialization.to_state_dict(v) for k, v in template.items()}
+        state = serialization.from_bytes(tmpl, raw)
+        return {
+            k: serialization.from_state_dict(template[k], state[k]) for k in template
+        }
+    return serialization.msgpack_restore(raw)
+
+
+def save_params(
+    prefix: str,
+    variables: Dict[str, Any],
+    current_map: float,
+    best_map: float,
+    epoch: int,
+    save_interval: int,
+) -> float:
+    """Reference save_params policy (train_yolov3.py:289-309).  Returns the
+    (possibly updated) best mAP."""
+    current_map = float(current_map)
+    if current_map > best_map:
+        best_map = current_map
+        save_variables(f"{prefix}_best.params", variables)
+        with open(prefix + "_best_map.log", "a") as f:
+            f.write(f"{epoch:04d}:\t{current_map:.4f}\n")
+    if save_interval and (epoch + 1) % save_interval == 0:
+        save_variables(f"{prefix}_{epoch:04d}_{current_map:.4f}.params", variables)
+    if save_interval < 0:
+        save_variables(f"{prefix}_{epoch:04d}_{current_map:.4f}.params", variables)
+        # GC: keep only every |interval|th epoch (and the newest)
+        for old in sorted(glob.glob(prefix + "_*.params")):
+            base = os.path.basename(old)
+            try:
+                e = int(base[len(os.path.basename(prefix)) + 1 :].split("_")[0])
+            except ValueError:
+                continue
+            if e != epoch and e % abs(save_interval) != 0:
+                os.remove(old)
+    return best_map
+
+
+def find_latest(save_dir: str) -> Optional[str]:
+    """Latest epoch checkpoint in a dir (resume start_epoch=-1 behaviour)."""
+    files = [f for f in glob.glob(os.path.join(save_dir, "*_0*.params"))]
+    if not files:
+        return None
+
+    def epoch_of(f):
+        parts = os.path.basename(f).split("_")
+        for p in parts:
+            if p.isdigit():
+                return int(p)
+        return -1
+
+    return max(files, key=epoch_of)
+
+
+def resume_params(
+    resume: str,
+    start_epoch: int,
+    save_dir: str,
+    template: Optional[Dict[str, Any]] = None,
+) -> Tuple[Optional[Dict[str, Any]], int]:
+    """Reference resume() (train_yolov3.py:312-329): explicit file or latest."""
+    if resume and resume.strip():
+        path = resume.strip()
+        variables = load_variables(path, template)
+        if start_epoch < 0:
+            base = os.path.basename(path)
+            for p in base.split("_"):
+                if p.isdigit():
+                    return variables, int(p) + 1
+            return variables, 0
+        return variables, start_epoch
+    if start_epoch == -1:
+        latest = find_latest(save_dir)
+        if latest is None:
+            return None, 0
+        variables = load_variables(latest, template)
+        for p in os.path.basename(latest).split("_"):
+            if p.isdigit():
+                return variables, int(p) + 1
+        return variables, 0
+    return None, max(start_epoch, 0)

@@ -86,11 +86,11 @@ def create_train_state(model, variables, lr_fn, momentum=0.9, weight_decay=5e-4)
 
 def make_train_step(
     model,
-    input_hw: Tuple[int, int],
     num_classes: int,
     ignore_iou_thresh: float = 0.7,
     label_smooth: bool = False,
     mixup: bool = False,
+    input_hw: Optional[Tuple[int, int]] = None,
     dtype=None,
 ):
     """Returns train_step(state, batch) -> (state, metrics).
@@ -100,9 +100,14 @@ def make_train_step(
       gt_boxes   (B, M, 4)     corner pixels, -1 padded
       gt_ids     (B, M, 1)     or (B, M, C) multi-hot
       gt_mix     (B, M, 1)     optional (mixup)
+
+    input_hw defaults to the (static under jit) image shape, so one
+    train_step function serves every random-shape bucket — each shape
+    triggers its own cached compilation, never a retrace surprise.
     """
 
     def loss_fn(params, batch_stats, batch):
+        hw = input_hw or tuple(batch["image"].shape[-3:-1])
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"],
@@ -113,7 +118,7 @@ def make_train_step(
             batch["gt_boxes"],
             batch["gt_ids"],
             batch.get("gt_mix") if mixup else None,
-            input_hw=input_hw,
+            input_hw=hw,
             num_classes=num_classes,
         )
         merged = merge_targets(
