@@ -71,10 +71,28 @@ def get_dataset(dataset_name):
             splits=[(2007, "test")],
             inference=True,
         )
-    if ds in ("coco", "det", "vid", "yt", "comb"):
+    if ds == "coco":
+        from videoyolo_tpu.data.mscoco import COCODetection
+
+        return COCODetection(
+            root=os.path.join(FLAGS.dataset_root, "MSCoco"),
+            splits=["instances_val2017"],
+            allow_empty=True,
+            inference=True,
+        )
+    if ds == "det":
+        from videoyolo_tpu.data.imgnetdet import ImageNetDetection
+
+        return ImageNetDetection(
+            root=os.path.join(FLAGS.dataset_root, "ImageNetDET", "ILSVRC"),
+            splits=["val"],
+            allow_empty=True,
+            inference=True,
+        )
+    if ds in ("vid", "yt", "comb"):
         raise NotImplementedError(
             f"dataset '{ds}' loader not yet built in the TPU port "
-            "(reference datasets/{mscoco,imgnetdet,imgnetvid,youtubebb,combined}.py)"
+            "(reference datasets/{imgnetvid,youtubebb,combined}.py)"
         )
     # ad-hoc files: images / videos / lists
     files = dataset_name if isinstance(dataset_name, (list, tuple)) else [dataset_name]
@@ -269,6 +287,14 @@ def get_metric(dataset, metric_name, data_shape, class_map=None):
         return VOCMApMetric(
             iou_thresh=0.5, class_names=dataset.classes, class_map=class_map
         )
+    if metric_name == "coco":
+        from videoyolo_tpu.metrics.mscoco import COCODetectionMetric
+
+        return COCODetectionMetric(
+            dataset,
+            os.path.join(FLAGS.save_dir, FLAGS.save_prefix, "coco_eval"),
+            cleanup=True,
+        )
     raise NotImplementedError(
         f"metric '{metric_name}' not yet built (reference metrics/)"
     )
@@ -281,11 +307,11 @@ def evaluate(metrics, dataset, predictions):
 
     for idx in range(len(dataset)):
         img_path = dataset.sample_path(idx)
-        if img_path not in predictions:
-            continue
         img, y, _ = dataset[idx]
         h, w = img.shape[0], img.shape[1]
-        preds = np.asarray(predictions[img_path], dtype=np.float64)
+        preds = np.asarray(
+            predictions.get(img_path, np.zeros((0, 6))), dtype=np.float64
+        ).reshape(-1, 6)
         det_bboxes = preds[None, :, 2:6] * np.array([w, h, w, h])
         det_ids = preds[None, :, 0:1]
         det_scores = preds[None, :, 1:2]
