@@ -89,10 +89,67 @@ def get_dataset(dataset_name):
             allow_empty=True,
             inference=True,
         )
-    if ds in ("vid", "yt", "comb"):
-        raise NotImplementedError(
-            f"dataset '{ds}' loader not yet built in the TPU port "
-            "(reference datasets/{imgnetvid,youtubebb,combined}.py)"
+    if ds == "vid":
+        from videoyolo_tpu.data.imgnetvid import ImageNetVidDetection
+
+        window = [int(w) for w in FLAGS.window]
+        return ImageNetVidDetection(
+            root=os.path.join(FLAGS.dataset_root, "ImageNetVID", "ILSVRC"),
+            splits=[(2017, "val")],
+            every=int(FLAGS.every),
+            window=window,
+            mult_out=FLAGS.mult_out,
+            inference=True,
+        )
+    if ds == "yt":
+        from videoyolo_tpu.data.youtubebb import YouTubeBBDetection
+
+        window = [int(w) for w in FLAGS.window]
+        return YouTubeBBDetection(
+            root=os.path.join(FLAGS.dataset_root, "YouTubeBB"),
+            splits=["val"],
+            frames=FLAGS.every,
+            window=window,
+            inference=True,
+        )
+    if ds == "comb":
+        from videoyolo_tpu.data.combined import CombinedDetection
+        from videoyolo_tpu.data.imgnetdet import ImageNetDetection
+        from videoyolo_tpu.data.imgnetvid import ImageNetVidDetection
+        from videoyolo_tpu.data.mscoco import COCODetection
+        from videoyolo_tpu.data.pascalvoc import VOCDetection
+
+        subsets = [
+            VOCDetection(
+                root=os.path.join(FLAGS.dataset_root, "PascalVOC", "VOCdevkit"),
+                splits=[(2007, "test")],
+                inference=True,
+            ),
+            COCODetection(
+                root=os.path.join(FLAGS.dataset_root, "MSCoco"),
+                splits=["instances_val2017"],
+                allow_empty=True,
+                inference=True,
+            ),
+            ImageNetDetection(
+                root=os.path.join(FLAGS.dataset_root, "ImageNetDET", "ILSVRC"),
+                splits=["val"],
+                allow_empty=True,
+                inference=True,
+            ),
+            ImageNetVidDetection(
+                root=os.path.join(FLAGS.dataset_root, "ImageNetVID", "ILSVRC"),
+                splits=[(2017, "val")],
+                every=int(FLAGS.every),
+                inference=True,
+            ),
+        ]
+        return CombinedDetection(
+            subsets,
+            class_tree=True,
+            validation=True,
+            inference=True,
+            hier_level=FLAGS.hier_level,
         )
     # ad-hoc files: images / videos / lists
     files = dataset_name if isinstance(dataset_name, (list, tuple)) else [dataset_name]
@@ -128,15 +185,39 @@ def get_net_and_params(num_classes):
     import jax
     import jax.numpy as jnp
 
-    from videoyolo_tpu.models.factory import yolo3_darknet53
+    from videoyolo_tpu.models.factory import YoloConfig, build_model
     from videoyolo_tpu.train.checkpoint import load_variables
 
-    model = yolo3_darknet53(num_classes, agnostic=FLAGS.model_agnostic)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, FLAGS.data_shape, FLAGS.data_shape, 3), jnp.float32),
-        train=False,
+    window = [int(w) for w in FLAGS.window]
+    k = window[0] if window[0] > 1 else None
+    cfg = YoloConfig(
+        num_classes=num_classes,
+        k=k,
+        k_join_type=FLAGS.k_join_type,
+        k_join_pos=FLAGS.k_join_pos,
+        block_conv_type=FLAGS.block_conv_type,
+        rnn_pos=FLAGS.rnn_pos,
+        corr_pos=FLAGS.corr_pos,
+        # corr is enabled by corr_pos (and for the temp model too — the
+        # reference's always-on corr_d default is a train/detect mismatch)
+        corr_d=FLAGS.corr_d if FLAGS.corr_pos else None,
+        motion_stream=FLAGS.motion_stream,
+        add_type=FLAGS.stream_gating,
+        agnostic=FLAGS.model_agnostic,
+        new_model=FLAGS.new_model,
+        hierarchical=tuple(int(h) for h in FLAGS.hier),
+        h_join_type=FLAGS.h_join_type,
+        temporal=FLAGS.temp,
+        t_out=FLAGS.mult_out,
+        conv_types=tuple(int(c) for c in FLAGS.conv_types),
     )
+    model = build_model(cfg)
+    shape = (
+        (1, FLAGS.data_shape, FLAGS.data_shape, 3)
+        if k is None
+        else (1, k, FLAGS.data_shape, FLAGS.data_shape, 3)
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32), train=False)
     if FLAGS.model_path and os.path.exists(FLAGS.model_path):
         variables = load_variables(FLAGS.model_path, dict(variables))
         logging.info("Loaded params from %s", FLAGS.model_path)
@@ -149,7 +230,8 @@ def get_net_and_params(num_classes):
 
 def detect(model, variables, dataset, loader, max_do=-1):
     """Run the jitted device step over the loader; returns {img_path: [[cls,
-    score, x1..y2 normalized]]} (reference detect_yolo3.py:198-273)."""
+    score, x1..y2 normalized]]}, or a list of 5 such dicts (one per window
+    offset) when mult_out (reference detect_yolo3.py:198-273)."""
     import jax
 
     from videoyolo_tpu.models.yolo3 import postprocess
@@ -159,11 +241,31 @@ def detect(model, variables, dataset, loader, max_do=-1):
     @jax.jit
     def step(images):
         boxes, scores = model.apply(variables, images, train=False)
-        ids, sc, bb = postprocess(boxes, scores, nms_thresh=0.45, nms_topk=400)
-        bb = bb.clip(0, shape)
-        return ids, sc, bb
+        if boxes.ndim == 4:  # mult_out (B, T, N, ...): fold T into batch for NMS
+            b, t = boxes.shape[0], boxes.shape[1]
+            ids, sc, bb = postprocess(
+                boxes.reshape((b * t,) + boxes.shape[2:]),
+                scores.reshape((b * t,) + scores.shape[2:]),
+                nms_thresh=0.45,
+                nms_topk=400,
+            )
+            ids = ids.reshape((b, t) + ids.shape[1:])
+            sc = sc.reshape((b, t) + sc.shape[1:])
+            bb = bb.reshape((b, t) + bb.shape[1:])
+        else:
+            ids, sc, bb = postprocess(boxes, scores, nms_thresh=0.45, nms_topk=400)
+        return ids, sc, bb.clip(0, shape)
 
-    boxes_out = {}
+    def collect(out_dict, file, ids_i, sc_i, bb_i):
+        valid = np.where(ids_i.flat >= 0)[0]
+        box = bb_i[valid, :] / shape  # normalise
+        cls = ids_i.flat[valid].astype(int)
+        score = sc_i.flat[valid]
+        out_dict.setdefault(file, [])
+        for c, s, b in zip(cls, score, box):
+            out_dict[file].append([int(c), float(s)] + [float(v) for v in b])
+
+    boxes_out = [dict() for _ in range(5)] if FLAGS.mult_out else {}
     if max_do < 0:
         max_do = len(dataset)
     done = 0
@@ -173,14 +275,15 @@ def detect(model, variables, dataset, loader, max_do=-1):
             if done >= max_do:
                 break
             sidx = int(batch["idx"][i])
-            file = dataset.sample_path(sidx)
-            valid = np.where(ids[i].flat >= 0)[0]
-            box = bb[i][valid, :] / shape  # normalise
-            cls = ids[i].flat[valid].astype(int)
-            score = sc[i].flat[valid]
-            boxes_out.setdefault(file, [])
-            for c, s, b in zip(cls, score, box):
-                boxes_out[file].append([int(c), float(s)] + [float(v) for v in b])
+            if FLAGS.mult_out:
+                files = dataset.window_paths(sidx)
+                for off, file in enumerate(files):
+                    # skip clamped boundary duplicates (detect_yolo3.py:240-242)
+                    if off != 2 and file == files[2]:
+                        continue
+                    collect(boxes_out[off], file, ids[i, off], sc[i, off], bb[i, off])
+            else:
+                collect(boxes_out, dataset.sample_path(sidx), ids[i], sc[i], bb[i])
             done += 1
         if done >= max_do:
             break
@@ -195,14 +298,35 @@ def _file_id(dataset, img_path, save_dir):
     return os.path.splitext(os.path.basename(img_path))[0]
 
 
+def _pred_dirname(agnostic, offset=None):
+    base = "pred_ag" if agnostic else "pred"
+    if offset is not None:
+        base += f"_o{offset}"
+    return base
+
+
 def save_predictions(save_dir, dataset, boxes, max_do=-1, agnostic=False):
-    """pred/*.txt cache, reference format (detect_yolo3.py:275-331)."""
-    save_dir = os.path.join(save_dir, "pred_ag" if agnostic else "pred")
+    """pred/*.txt cache, reference format (detect_yolo3.py:275-331); with
+    mult_out, one pred_o{t} dir per window offset (:291-300)."""
+    if FLAGS.mult_out:
+        for off, b in enumerate(boxes):
+            _save_predictions_dict(
+                os.path.join(save_dir, _pred_dirname(agnostic, off)), dataset, b, max_do,
+                paths=lambda idx, off=off: dataset.window_paths(idx)[off],
+            )
+        return save_dir
+    return _save_predictions_dict(
+        os.path.join(save_dir, _pred_dirname(agnostic)), dataset, boxes, max_do,
+        paths=dataset.sample_path,
+    )
+
+
+def _save_predictions_dict(save_dir, dataset, boxes, max_do, paths):
     os.makedirs(save_dir, exist_ok=True)
     if max_do < 0:
         max_do = len(dataset)
     for idx in range(min(len(dataset), max_do)):
-        img_path = dataset.sample_path(idx)
+        img_path = paths(idx)
         fid = _file_id(dataset, img_path, save_dir)
         with open(os.path.join(save_dir, fid + ".txt"), "w") as f:
             for box in boxes.get(img_path, []):
@@ -217,14 +341,31 @@ def save_predictions(save_dir, dataset, boxes, max_do=-1, agnostic=False):
 def load_predictions(save_dir, dataset, max_do=-1, agnostic=False):
     """Reload the txt cache; None if any file missing
     (detect_yolo3.py:333-448)."""
-    save_dir = os.path.join(save_dir, "pred_ag" if agnostic else "pred")
+    if FLAGS.mult_out:
+        all_boxes = []
+        for off in range(5):
+            b = _load_predictions_dict(
+                os.path.join(save_dir, _pred_dirname(agnostic, off)), dataset, max_do,
+                paths=lambda idx, off=off: dataset.window_paths(idx)[off],
+            )
+            if b is None:
+                return None
+            all_boxes.append(b)
+        return all_boxes
+    return _load_predictions_dict(
+        os.path.join(save_dir, _pred_dirname(agnostic)), dataset, max_do,
+        paths=dataset.sample_path,
+    )
+
+
+def _load_predictions_dict(save_dir, dataset, max_do, paths):
     if not os.path.exists(save_dir):
         return None
     if max_do < 0:
         max_do = len(dataset)
     boxes = {}
     for idx in range(min(len(dataset), max_do)):
-        img_path = dataset.sample_path(idx)
+        img_path = paths(idx)
         fid = _file_id(dataset, img_path, save_dir)
         path = os.path.join(save_dir, fid + ".txt")
         if not os.path.exists(path):
@@ -239,6 +380,159 @@ def load_predictions(save_dir, dataset, max_do=-1, agnostic=False):
                     [int(parts[1])] + [float(p) for p in parts[2:7]]
                 )
     return boxes
+
+
+def get_class_map(trained_on, eval_on):
+    """Map eval-set class ids to trained-on ids via wn ids (-1 = untrained)
+    (detect_yolo3.py:698-709)."""
+    toc = list(trained_on.wn_classes)
+    return [toc.index(c) if c in toc else -1 for c in eval_on.wn_classes]
+
+
+def hierarchical_nms(predictions, dataset, ov_thresh=0.5, conf_thresh=0.0, level_thresh=10):
+    """Merge boxes along the same WordNet sub-branch, maxing confidences
+    leaf -> root (detect_yolo3.py:736-789).  Host-side: runs on the tiny
+    post-NMS cached predictions, not on device."""
+    from videoyolo_tpu.ops.bbox import np_bbox_iou
+
+    def np_box_iou_single(a, b):
+        return float(
+            np_bbox_iou(
+                np.asarray(a, np.float64)[None, :4],
+                np.asarray(b, np.float64)[None, :4],
+                offset=1,  # the reference's +1 pixel convention (detect_yolo3.py:712-733)
+            )[0, 0]
+        )
+
+    levels = dataset.get_levels()
+    parents = dataset.parents
+    wn = list(dataset.wn_classes)
+    n = len(wn)
+    on_branch = [[dataset.on_branch(i, j) for j in range(n)] for i in range(n)]
+    level_thresh = max(0, level_thresh)
+
+    out = {}
+    for img_path, boxes in predictions.items():
+        kept = []
+        # highest (most leafy) class ids first (detect_yolo3.py:757)
+        for box in sorted(boxes, key=lambda x: x[0], reverse=True):
+            cls, conf, coords = int(box[0]), box[1], box[2:]
+            if conf < conf_thresh:
+                continue
+            while levels[cls] > level_thresh:
+                cls = wn.index(parents[wn[cls]])
+            best_ov, best_idx = 0.0, -1
+            for i, kb in enumerate(kept):
+                ov = np_box_iou_single(coords, kb[2:])
+                if ov > ov_thresh and ov > best_ov:
+                    best_ov, best_idx = ov, i
+            if best_idx == -1:
+                kept.append([cls, conf] + list(coords))
+            elif not on_branch[cls][kept[best_idx][0]]:
+                kept.append([cls, conf] + list(coords))
+            elif cls == kept[best_idx][0]:
+                kept[best_idx][1] = max(kept[best_idx][1], conf)
+            # else: a descendant already covers this box — drop it
+        out[img_path] = kept
+    return out
+
+
+def add_metrics_to_predictions(save_dir, dataset, metric, predictions):
+    """Annotate each prediction file with its per-frame score and write the
+    worst-clip summary.txt (detect_yolo3.py:451-534)."""
+    load_dir = os.path.join(save_dir, _pred_dirname(FLAGS.model_agnostic))
+    summary = {}
+    for idx in range(len(dataset)):
+        img_path = dataset.sample_path(idx)
+        if isinstance(img_path, list):
+            img_path = img_path[FLAGS.offset + 2]
+        img, y, _ = dataset[idx]
+        if FLAGS.mult_out:
+            img, y = img[FLAGS.offset + 2], y[FLAGS.offset + 2]
+        h, w = img.shape[0], img.shape[1]
+        preds = np.asarray(
+            predictions.get(img_path, np.zeros((0, 6))), dtype=np.float64
+        ).reshape(-1, 6)
+        metric.reset()
+        metric.update(
+            preds[None, :, 2:6] * np.array([w, h, w, h]),
+            preds[None, :, 0:1],
+            preds[None, :, 1:2],
+            y[None, :, :4],
+            y[None, :, 4:5],
+            y[None, :, 5:6] if y.shape[-1] > 5 else None,
+        )
+        _, scores = metric.get()
+        score = scores[-1] if isinstance(scores, (list, np.ndarray)) else scores
+        if getattr(dataset, "name", "") == "vid":
+            summary.setdefault(img_path.split("/")[-2], []).append(score)
+        else:
+            summary[img_path] = score
+        fid = _file_id(dataset, img_path, os.path.join(load_dir, "metric"))
+        os.makedirs(os.path.dirname(os.path.join(load_dir, "metric", fid + ".txt")), exist_ok=True)
+        with open(os.path.join(load_dir, "metric", fid + ".txt"), "w") as f:
+            for box in predictions.get(img_path, []):
+                f.write(
+                    "{},{},{},{},{},{},{},{}\n".format(img_path, *box[:6], score)
+                )
+
+    # rank worst first; clips sort by (mean AP, -frames) (detect_yolo3.py:524-529)
+    items = []
+    for k, v in summary.items():
+        if isinstance(v, list):
+            items.append((k, sum(v) / len(v), len(v)))
+        else:
+            items.append((k, v, 1))
+    items.sort(key=lambda kv: (kv[1], -kv[2]))
+    os.makedirs(os.path.join(load_dir, "metric"), exist_ok=True)
+    summary_path = os.path.join(load_dir, "metric", "summary.txt")
+    with open(summary_path, "w") as f:
+        for k, score, _ in items:
+            f.write(f"{k}\t{score}\n")
+    return summary_path
+
+
+def video_of_worst(video_path, frames_dir, summary_file, fps=4):
+    """Render the worst clips (by summary.txt ranking) into one review video
+    (detect_yolo3.py:584-656)."""
+    import glob as _glob
+
+    import cv2
+
+    if not video_path.endswith(".mp4"):
+        video_path += ".mp4"
+    with open(summary_file) as f:
+        entries = [line.split() for line in f if line.strip()]
+    height, width = 1080, 1920
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (width, height)
+    )
+    for vid_id, score in entries:
+        frames = sorted(
+            _glob.glob(os.path.join(frames_dir, vid_id, "**", "*.*"), recursive=True)
+        )
+        for fn in frames:
+            img = cv2.imread(fn)
+            if img is None:
+                continue
+            canvas = np.zeros((height, width, 3), np.uint8)
+            h, w = img.shape[:2]
+            r = min(height / h, width / w)
+            hs, ws = int(h * r), int(w * r)
+            img = cv2.resize(img, (ws, hs), interpolation=cv2.INTER_AREA)
+            y0, x0 = (height - hs) // 2, (width - ws) // 2
+            canvas[y0 : y0 + hs, x0 : x0 + ws] = img
+            cv2.putText(
+                canvas, f"Clip AP: {float(score):.2f}", (1650, 1060),
+                cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255), 2,
+            )
+            cv2.putText(
+                canvas, fn, (10, 1060), cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255), 2
+            )
+            for _ in range(int(25 / fps)):
+                writer.write(canvas)
+    writer.release()
+    return video_path
 
 
 def visualise_predictions(save_dir, dataset, trained_on_classes, predictions):
@@ -295,6 +589,15 @@ def get_metric(dataset, metric_name, data_shape, class_map=None):
             os.path.join(FLAGS.save_dir, FLAGS.save_prefix, "coco_eval"),
             cleanup=True,
         )
+    if metric_name == "vid":
+        from videoyolo_tpu.metrics.imgnetvid import VIDDetectionMetric
+
+        return VIDDetectionMetric(
+            dataset,
+            class_map=class_map,
+            agnostic=FLAGS.metric_agnostic,
+            offset=FLAGS.offset if FLAGS.mult_out else None,
+        )
     raise NotImplementedError(
         f"metric '{metric_name}' not yet built (reference metrics/)"
     )
@@ -305,9 +608,19 @@ def evaluate(metrics, dataset, predictions):
     (detect_yolo3.py:659-696)."""
     from videoyolo_tpu.data.base import read_image
 
+    sample_ids = (
+        dataset.get_sample_ids() if hasattr(dataset, "get_sample_ids") else dataset.sample_ids
+    ) if hasattr(dataset, "sample_ids") else list(range(len(dataset)))
     for idx in range(len(dataset)):
         img_path = dataset.sample_path(idx)
+        sid = sample_ids[idx]
+        if FLAGS.mult_out:
+            sid = sid[FLAGS.offset + 2]
+            img_path = img_path[FLAGS.offset + 2]
         img, y, _ = dataset[idx]
+        if FLAGS.mult_out:
+            img = img[FLAGS.offset + 2]
+            y = y[FLAGS.offset + 2]
         h, w = img.shape[0], img.shape[1]
         preds = np.asarray(
             predictions.get(img_path, np.zeros((0, 6))), dtype=np.float64
@@ -319,7 +632,9 @@ def evaluate(metrics, dataset, predictions):
         gt_ids = y[None, :, 4:5]
         gt_difficults = y[None, :, 5:6] if y.shape[-1] > 5 else None
         for metric in metrics:
-            metric.update(det_bboxes, det_ids, det_scores, gt_bboxes, gt_ids, gt_difficults)
+            metric.update(
+                det_bboxes, det_ids, det_scores, gt_bboxes, gt_ids, gt_difficults, sid=sid
+            )
     return [m.get() for m in metrics]
 
 
@@ -335,13 +650,25 @@ def main(_argv):
     dataset = get_dataset(FLAGS.dataset)
     trained_on = get_dataset([FLAGS.trained_on]) if FLAGS.trained_on else dataset
     classes = trained_on.classes if trained_on.classes else ["object"]
+    class_map = (
+        get_class_map(trained_on, dataset) if FLAGS.trained_on else None
+    )
 
     save_dir = os.path.join(FLAGS.save_dir, FLAGS.save_prefix)
     os.makedirs(save_dir, exist_ok=True)
 
     predictions = load_predictions(save_dir, dataset, FLAGS.max_do, FLAGS.model_agnostic)
     if predictions is None:
-        dataset._transform = YOLO3DefaultInferenceTransform(FLAGS.data_shape, FLAGS.data_shape)
+        from videoyolo_tpu.data.transforms import YOLO3VideoInferenceTransform
+
+        if window[0] > 1:
+            dataset._transform = YOLO3VideoInferenceTransform(
+                FLAGS.data_shape, FLAGS.data_shape
+            )
+        else:
+            dataset._transform = YOLO3DefaultInferenceTransform(
+                FLAGS.data_shape, FLAGS.data_shape
+            )
         loader = DetectionLoader(
             dataset, batch_size=FLAGS.batch_size, num_workers=FLAGS.num_workers
         )
@@ -351,12 +678,38 @@ def main(_argv):
         dataset._transform = None
         predictions = boxes
 
+    if FLAGS.mult_out:
+        eval_predictions = predictions[FLAGS.offset + 2]
+    else:
+        eval_predictions = predictions
+
+    # WordNet-tree post-processing for the combined dataset
+    # (reference detect_yolo3.py:899)
+    if getattr(dataset, "name", "") == "comb" and getattr(dataset, "parents", None):
+        eval_predictions = hierarchical_nms(
+            eval_predictions, dataset, level_thresh=FLAGS.hier_level
+        )
+
+    if FLAGS.per_frame_metric and dataset.classes:
+        metric = get_metric(dataset, FLAGS.metrics[0], FLAGS.data_shape, class_map)
+        summary_path = add_metrics_to_predictions(
+            save_dir, dataset, metric, eval_predictions
+        )
+        if FLAGS.worst_video_path:
+            video_of_worst(
+                FLAGS.worst_video_path,
+                os.path.join(FLAGS.dataset_root, "frames"),
+                summary_path,
+            )
+
     if FLAGS.visualise:
-        visualise_predictions(save_dir, dataset, classes, predictions)
+        visualise_predictions(save_dir, dataset, classes, eval_predictions)
 
     if dataset.classes:  # labelled dataset -> evaluate
-        metrics = [get_metric(dataset, m, FLAGS.data_shape) for m in FLAGS.metrics]
-        results = evaluate(metrics, dataset, predictions)
+        metrics = [
+            get_metric(dataset, m, FLAGS.data_shape, class_map) for m in FLAGS.metrics
+        ]
+        results = evaluate(metrics, dataset, eval_predictions)
         for metric_name, (names, values) in zip(FLAGS.metrics, results):
             path = os.path.join(save_dir, f"{metric_name}.txt")
             with open(path, "w") as f:

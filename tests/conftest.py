@@ -3,7 +3,9 @@ paths are exercised without TPU hardware (the reference had no equivalent —
 its multi-GPU path could only be tested on GPUs, SURVEY.md §4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the driver environment presets JAX_PLATFORMS=axon (remote
+# TPU tunnel) — tests must run on the local virtual-8-device CPU backend
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -12,4 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persist EVERY compile: on a 1-core host the suite's cost is hundreds of
+# small per-op compiles (eager init/apply), all of which recur across runs
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -82,29 +82,91 @@ flags.DEFINE_integer("max_epoch_time", -1, "Max minutes an epoch can run before 
 flags.DEFINE_string("experiment_root", os.path.join("models", "experiments"), "Experiment directory root.")
 
 
-def get_dataset(names, val=False):
-    """Dataset flags -> dataset (reference get_dataset :167-233)."""
+def _get_single_dataset(name, val=False):
+    """One dataset by name (reference get_dataset :167-233)."""
     from videoyolo_tpu.data import VOCDetection
-    from videoyolo_tpu.data.transforms import MixupDetection
 
-    name = names[0] if isinstance(names, (list, tuple)) else names
+    window = [int(w) for w in FLAGS.window]
     if name == "voc":
         if val:
             return VOCDetection(
                 root=os.path.join(FLAGS.dataset_root, "PascalVOC", "VOCdevkit"),
                 splits=[(2007, "test")],
                 inference=True,
+                features_dir=FLAGS.features_dir,
             )
-        ds = VOCDetection(
+        return VOCDetection(
             root=os.path.join(FLAGS.dataset_root, "PascalVOC", "VOCdevkit"),
             splits=[(2007, "trainval"), (2012, "trainval")],
+            features_dir=FLAGS.features_dir,
         )
-        if FLAGS.mixup:
-            ds = MixupDetection(ds)
-        return ds
+    if name == "coco":
+        from videoyolo_tpu.data.mscoco import COCODetection
+
+        split = "instances_val2017" if val else "instances_train2017"
+        return COCODetection(
+            root=os.path.join(FLAGS.dataset_root, "MSCoco"),
+            splits=[split],
+            allow_empty=val,
+            inference=val,
+        )
+    if name == "det":
+        from videoyolo_tpu.data.imgnetdet import ImageNetDetection
+
+        return ImageNetDetection(
+            root=os.path.join(FLAGS.dataset_root, "ImageNetDET", "ILSVRC"),
+            splits=["val" if val else "train"],
+            allow_empty=FLAGS.allow_empty or val,
+            inference=val,
+        )
+    if name == "vid":
+        from videoyolo_tpu.data.imgnetvid import ImageNetVidDetection
+
+        return ImageNetVidDetection(
+            root=os.path.join(FLAGS.dataset_root, "ImageNetVID", "ILSVRC"),
+            splits=[(2017, "val" if val else "train")],
+            allow_empty=FLAGS.allow_empty or val,
+            every=int(FLAGS.every),
+            window=window,
+            mult_out=FLAGS.mult_out,
+            inference=val,
+            features_dir=FLAGS.features_dir,
+        )
+    if name == "yt":
+        from videoyolo_tpu.data.youtubebb import YouTubeBBDetection
+
+        return YouTubeBBDetection(
+            root=os.path.join(FLAGS.dataset_root, "YouTubeBB"),
+            splits=["val" if val else "train"],
+            frames=FLAGS.every,
+            window=window,
+            inference=val,
+        )
     raise NotImplementedError(
         f"dataset '{name}' not yet built in the TPU port (reference datasets/)"
     )
+
+
+def get_dataset(names, val=False):
+    """Dataset flags -> dataset; multiple names combine via the class tree
+    (reference get_dataset :167-233, CombinedDetection at :227-229)."""
+    from videoyolo_tpu.data.transforms import MixupDetection
+
+    names = list(names) if isinstance(names, (list, tuple)) else [names]
+    if len(names) > 1 or names[0] == "comb":
+        from videoyolo_tpu.data.combined import CombinedDetection
+
+        if names[0] == "comb":
+            names = ["voc", "coco", "det", "vid"]
+        subsets = [_get_single_dataset(n, val) for n in names]
+        ds = CombinedDetection(
+            subsets, class_tree=True, validation=val, inference=val
+        )
+    else:
+        ds = _get_single_dataset(names[0], val)
+    if not val and FLAGS.mixup:
+        ds = MixupDetection(ds)
+    return ds
 
 
 def get_dataloaders(train_dataset, val_dataset):
@@ -114,11 +176,22 @@ def get_dataloaders(train_dataset, val_dataset):
         YOLO3DefaultTrainTransform,
     )
 
+    from videoyolo_tpu.data.transforms import (
+        YOLO3VideoInferenceTransform,
+        YOLO3VideoTrainTransform,
+    )
+
+    window = [int(w) for w in FLAGS.window]
+    k = window[0]
     num_workers = FLAGS.num_workers if FLAGS.num_workers > 0 else (os.cpu_count() or 4)
     if FLAGS.no_random_shape:
         sizes = [FLAGS.data_shape]
     else:
         sizes = [320 + 32 * i for i in range(10)]  # x*32 for x in 10..19 (:265-271)
+    if k > 1:
+        tf = lambda w, h: YOLO3VideoTrainTransform(k, w, h, mixup=FLAGS.mixup)
+    else:
+        tf = lambda w, h: YOLO3DefaultTrainTransform(w, h, mixup=FLAGS.mixup)
     train_loader = DetectionLoader(
         train_dataset,
         batch_size=FLAGS.batch_size,
@@ -127,13 +200,20 @@ def get_dataloaders(train_dataset, val_dataset):
         num_workers=num_workers,
         mixup=FLAGS.mixup,
         seed=FLAGS.seed,
-        transform_factory=lambda w, h: YOLO3DefaultTrainTransform(w, h, mixup=FLAGS.mixup),
+        transform_factory=tf,
         shape_sizes=sizes,
         shape_interval=10,
     )
     val_loader = None
     if val_dataset is not None:
-        val_dataset._transform = YOLO3DefaultInferenceTransform(FLAGS.data_shape, FLAGS.data_shape)
+        if k > 1:
+            val_dataset._transform = YOLO3VideoInferenceTransform(
+                FLAGS.data_shape, FLAGS.data_shape
+            )
+        else:
+            val_dataset._transform = YOLO3DefaultInferenceTransform(
+                FLAGS.data_shape, FLAGS.data_shape
+            )
         val_loader = DetectionLoader(
             val_dataset, batch_size=FLAGS.batch_size, num_workers=num_workers
         )
@@ -319,33 +399,49 @@ def main(_argv):
             )
     os.makedirs(exp_dir, exist_ok=True)
 
-    from videoyolo_tpu.models.factory import yolo3_darknet53
+    from videoyolo_tpu.models.factory import yolo3_darknet53, yolo3_no_backbone
     from videoyolo_tpu.train.checkpoint import resume_params
 
     import jax.numpy as jnp
 
     classes = train_dataset.classes
-    model = yolo3_darknet53(
-        list(classes),
-        k=window[0] if window[0] > 1 else None,
-        k_join_type=FLAGS.k_join_type,
-        k_join_pos=FLAGS.k_join_pos,
-        block_conv_type=FLAGS.block_conv_type,
-        rnn_pos=FLAGS.rnn_pos,
-        corr_pos=FLAGS.corr_pos,
-        corr_d=FLAGS.corr_d or None,
-        motion_stream=FLAGS.motion_stream,
-        add_type=FLAGS.stream_gating,
-        new_model=FLAGS.new_model,
-        h_join_type=FLAGS.h_join_type,
-        temporal=FLAGS.temp,
-        t_out=FLAGS.mult_out,
-    )
-    variables = model.init(
-        jax.random.PRNGKey(FLAGS.seed),
-        jnp.zeros((1, FLAGS.data_shape, FLAGS.data_shape, 3), jnp.float32),
-        train=False,
-    )
+    k = window[0] if window[0] > 1 else None
+    if FLAGS.features_dir:
+        # head-only training over pre-extracted features
+        # (reference yolo3_no_backbone, train_yolov3.py:335-343)
+        model = yolo3_no_backbone(list(classes))
+        s = FLAGS.data_shape
+        example = (
+            jnp.zeros((1, s // 8, s // 8, 256), jnp.float32),
+            jnp.zeros((1, s // 16, s // 16, 512), jnp.float32),
+            jnp.zeros((1, s // 32, s // 32, 1024), jnp.float32),
+        )
+    else:
+        model = yolo3_darknet53(
+            list(classes),
+            k=k,
+            k_join_type=FLAGS.k_join_type,
+            k_join_pos=FLAGS.k_join_pos,
+            block_conv_type=FLAGS.block_conv_type,
+            rnn_pos=FLAGS.rnn_pos,
+            corr_pos=FLAGS.corr_pos,
+            corr_d=FLAGS.corr_d or None,
+            motion_stream=FLAGS.motion_stream,
+            add_type=FLAGS.stream_gating,
+            new_model=FLAGS.new_model,
+            hierarchical=tuple(int(h) for h in FLAGS.hier),
+            h_join_type=FLAGS.h_join_type,
+            conv_types=tuple(int(c) for c in FLAGS.conv_types),
+            temporal=FLAGS.temp,
+            t_out=FLAGS.mult_out,
+        )
+        shape = (
+            (1, FLAGS.data_shape, FLAGS.data_shape, 3)
+            if k is None
+            else (1, k, FLAGS.data_shape, FLAGS.data_shape, 3)
+        )
+        example = jnp.zeros(shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(FLAGS.seed), example, train=False)
     restored, start_epoch = resume_params(
         FLAGS.resume, FLAGS.start_epoch, exp_dir, dict(variables)
     )

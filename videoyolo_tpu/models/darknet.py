@@ -80,6 +80,22 @@ class Darknet53(nn.Module):
         return tuple(routes)
 
 
+class Darknet53Stage1(nn.Module):
+    """The first FPN slice as a standalone module (reference `features[:15]`,
+    wrappers.py:58): conv0 + the 64/128/256-channel groups -> (B, H/8, W/8, 256).
+    Used by temporal models that route stages separately (yolo3_temporal.py)."""
+
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNLeaky(32, kernel=3, stride=1, name="conv0", dtype=self.dtype)(x, train)
+        x = DarknetStage(64, 1, name="stage1", dtype=self.dtype)(x, train)
+        x = DarknetStage(128, 2, name="stage2", dtype=self.dtype)(x, train)
+        x = DarknetStage(256, 8, name="stage3", dtype=self.dtype)(x, train)
+        return x
+
+
 class Darknet53Classifier(nn.Module):
     """Full ImageNet classifier head (darknet.py:96-99): global avg pool +
     Dense(classes).  Kept for pretrained-weight round-trips and feature

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 from ..ops.anchors import DEFAULT_ANCHORS, DEFAULT_STRIDES
 from .yolo3 import YOLOv3
 
-__all__ = ["YoloConfig", "yolo3_darknet53", "yolo3_no_backbone", "build_model"]
+__all__ = [
+    "YoloConfig",
+    "yolo3_darknet53",
+    "yolo3_3ddarknet",
+    "yolo3_no_backbone",
+    "build_model",
+]
 
 
 @dataclass(frozen=True)
@@ -41,6 +47,7 @@ class YoloConfig:
     temporal: bool = False
     t_out: bool = False
     conv_types: Sequence[int] = (2, 2, 2, 2, 2, 2)
+    funnel_time: bool = False
     dtype: object = None
 
     def validate(self):
@@ -55,14 +62,23 @@ class YoloConfig:
 
 
 def build_model(cfg: YoloConfig):
-    """Config -> model instance.  Unbuilt axes raise with a pointer to the
-    reference implementation they mirror."""
+    """Config -> model instance, the reference wrapper dispatch
+    (wrappers.py:41-110) over typed config axes."""
     cfg.validate()
     if cfg.motion_stream:
-        from .yolo3_temporal import YOLOv3TwoStream  # noqa — built in temporal phase
+        # YOLOV3TS (yolo3.py:632): two-stream backbone + plain 2D head
+        from .ts_darknet import TwoStreamDarknet
+        from .yolo3_temporal import YOLOv3T
 
-        raise NotImplementedError(
-            "two-stream models (reference yolo3.py:632 YOLOV3TS) not yet built"
+        backbone = TwoStreamDarknet(
+            stream=cfg.motion_stream, t=cfg.k, add_type=cfg.add_type, dtype=cfg.dtype
+        )
+        return YOLOv3T(
+            num_classes=cfg.num_classes,
+            k=cfg.k,
+            backbone=backbone,
+            agnostic=cfg.agnostic,
+            dtype=cfg.dtype,
         )
     if cfg.temporal or cfg.t_out:
         from .yolo3_temporal import YOLOv3Temporal
@@ -71,13 +87,45 @@ def build_model(cfg: YoloConfig):
             num_classes=cfg.num_classes,
             t=cfg.k or 5,
             conv=int(cfg.block_conv_type),
-            corr_d=cfg.corr_d,
+            corr_d=cfg.corr_d or 0,
             t_out=cfg.t_out,
+            agnostic=cfg.agnostic,
             dtype=cfg.dtype,
         )
-    if any(h > 1 for h in cfg.hierarchical):
-        raise NotImplementedError(
-            "hierarchical darknet (reference h_darknet.py:46) not yet built"
+    if cfg.new_model:
+        # YOLOV3TB (yolo3.py:1305): backbone returns routes itself
+        from .yolo3_temporal import YOLOv3T
+
+        if cfg.hierarchical[0] > 1:
+            from .h_darknet import HDarknet
+
+            backbone = HDarknet(
+                windows=tuple(cfg.hierarchical),
+                merge_type=cfg.h_join_type or "max",
+                dtype=cfg.dtype,
+            )
+            k = 1
+        else:
+            from .darknet3d import Darknet3D
+
+            backbone = Darknet3D(
+                conv_types=tuple(cfg.conv_types),
+                funnel_time=cfg.funnel_time,
+                dtype=cfg.dtype,
+            )
+            k = cfg.k or 1
+        return YOLOv3T(
+            num_classes=cfg.num_classes,
+            k=k,
+            k_join_type=cfg.k_join_type,
+            k_join_pos=cfg.k_join_pos,
+            block_conv_type=cfg.block_conv_type,
+            rnn_pos=cfg.rnn_pos,
+            corr_pos=cfg.corr_pos,
+            corr_d=cfg.corr_d,
+            backbone=backbone,
+            agnostic=cfg.agnostic,
+            dtype=cfg.dtype,
         )
     if cfg.k is not None and cfg.k > 1:
         from .yolo3_temporal import YOLOv3T
@@ -95,6 +143,16 @@ def build_model(cfg: YoloConfig):
             dtype=cfg.dtype,
         )
     return YOLOv3(num_classes=cfg.num_classes, agnostic=cfg.agnostic, dtype=cfg.dtype)
+
+
+def yolo3_3ddarknet(classes, conv_types=(2, 2, 2, 2, 2, 2), agnostic=False, dtype=None, **kwargs):
+    """3D-darknet detector factory (wrappers.py:113-130)."""
+    num = classes if isinstance(classes, int) else len(classes)
+    cfg = YoloConfig(
+        num_classes=num, new_model=True, conv_types=tuple(conv_types),
+        agnostic=agnostic, dtype=dtype, **kwargs,
+    )
+    return build_model(cfg)
 
 
 def yolo3_darknet53(classes, dtype=None, **kwargs) -> YOLOv3:

@@ -245,6 +245,63 @@ def time_distributed(module_call: Callable, x: jnp.ndarray, *args, **kwargs):
     return unfold(out)
 
 
+class Corr(nn.Module):
+    """Correlation block over t timesteps vs the middle frame
+    (layers.py:93-132).  Input (B, T, H, W, C).
+
+    keep='all'  -> (B, H, W, T*C + n_corr*D): fold time into channels, append
+                   one cost volume per compared timestep.
+    keep='mid'  -> (B, H, W, C + n_corr*D): keep only the middle frame.
+    keep='none' -> (B, T', H, W, D): only the stacked cost volumes.
+    `comp_mid` also compares the middle frame with itself (yolo3_temporal.py
+    uses keep='none', comp_mid=True).
+    """
+
+    d: int
+    t: int
+    kernel_size: int = 1
+    stride: int = 1
+    keep: str = "all"
+    comp_mid: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.correlation import correlation
+
+        assert self.keep in ("all", "mid", "none")
+        b, t = x.shape[0], x.shape[1]
+        assert t == self.t, (t, self.t)
+        mid = t // 2
+        x32 = x.astype(jnp.float32)
+        frames = [x32[:, i] for i in range(t)]
+
+        corrs = []
+        for i in range(t):
+            if not self.comp_mid and i == mid:
+                continue
+            corrs.append(
+                correlation(
+                    frames[i],
+                    frames[mid],
+                    max_displacement=self.d,
+                    kernel_size=self.kernel_size,
+                    stride1=self.stride,
+                    stride2=self.stride,
+                )
+            )
+
+        if self.keep == "none":
+            return jnp.stack(corrs, axis=1)  # (B, T', H, W, D)
+        if self.keep == "all":
+            # fold time into channels (reference reshape (0,-3,-2))
+            base = jnp.transpose(x32, (0, 2, 3, 1, 4)).reshape(
+                (b,) + x.shape[2:4] + (t * x.shape[4],)
+            )
+        else:  # mid
+            base = frames[mid]
+        return jnp.concatenate([base] + corrs, axis=-1)
+
+
 class ConvGRUCell(nn.Module):
     """Conv2D GRU cell (NHWC), equivalent of gluon Conv2DGRUCell used by the
     reference RNN layer (layers.py:283-296)."""

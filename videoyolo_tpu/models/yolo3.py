@@ -73,37 +73,49 @@ class YOLOOutput(nn.Module):
         pred = nn.Conv(
             num_anchors * num_pred, (1, 1), padding="VALID", dtype=self.dtype, name="prediction"
         )(tip)
-        b, h, w = pred.shape[0], pred.shape[1], pred.shape[2]
-        # (B, H*W, A, 5+C); NHWC layout makes this a pure reshape.
-        pred = pred.reshape(b, h * w, num_anchors, num_pred).astype(jnp.float32)
-
-        raw_centers = pred[..., 0:2]
-        raw_scales = pred[..., 2:4]
-        objness = pred[..., 4:5]
-        class_pred = pred[..., 5:]
-
-        offsets = jnp.asarray(grid_offsets(h, w))[None, :, None, :]  # (1,HW,1,2)
-        anchors = jnp.asarray(np.asarray(self.anchors, np.float32))[None, None, :, :]
-
-        centers = (jax.nn.sigmoid(raw_centers) + offsets) * float(self.stride)
-        scales = jnp.exp(raw_scales) * anchors
-        half = scales / 2.0
-        bbox = jnp.concatenate([centers - half, centers + half], axis=-1)  # (B,HW,A,4)
-
-        if train:
-            return {
-                "bbox": bbox.reshape(b, -1, 4),
-                "raw_centers": raw_centers.reshape(b, -1, 2),
-                "raw_scales": raw_scales.reshape(b, -1, 2),
-                "objness": objness.reshape(b, -1, 1),
-                "class_pred": class_pred.reshape(b, -1, self.num_classes),
-            }
-
-        conf = jax.nn.sigmoid(objness)
-        class_score = jax.nn.sigmoid(class_pred) * conf
-        return bbox.reshape(b, -1, 4), class_score.reshape(b, -1, self.num_classes), conf.reshape(
-            b, -1, 1
+        return decode_predictions(
+            pred, self.anchors, self.stride, self.num_classes, train
         )
+
+
+def decode_predictions(pred, anchor_pairs, stride, num_classes, train: bool):
+    """Anchor decode of a raw prediction map (B, H, W, A*(5+C))
+    (yolo3.py:155-199).  Shared by the conv and conv-RNN output heads.
+
+    Returns train: dict of raw heads; eval: (bbox, class_score, conf)."""
+    num_anchors = len(anchor_pairs)
+    num_pred = 1 + 4 + num_classes
+    b, h, w = pred.shape[0], pred.shape[1], pred.shape[2]
+    # (B, H*W, A, 5+C); NHWC layout makes this a pure reshape.
+    pred = pred.reshape(b, h * w, num_anchors, num_pred).astype(jnp.float32)
+
+    raw_centers = pred[..., 0:2]
+    raw_scales = pred[..., 2:4]
+    objness = pred[..., 4:5]
+    class_pred = pred[..., 5:]
+
+    offsets = jnp.asarray(grid_offsets(h, w))[None, :, None, :]  # (1,HW,1,2)
+    anchors = jnp.asarray(np.asarray(anchor_pairs, np.float32))[None, None, :, :]
+
+    centers = (jax.nn.sigmoid(raw_centers) + offsets) * float(stride)
+    scales = jnp.exp(raw_scales) * anchors
+    half = scales / 2.0
+    bbox = jnp.concatenate([centers - half, centers + half], axis=-1)  # (B,HW,A,4)
+
+    if train:
+        return {
+            "bbox": bbox.reshape(b, -1, 4),
+            "raw_centers": raw_centers.reshape(b, -1, 2),
+            "raw_scales": raw_scales.reshape(b, -1, 2),
+            "objness": objness.reshape(b, -1, 1),
+            "class_pred": class_pred.reshape(b, -1, num_classes),
+        }
+
+    conf = jax.nn.sigmoid(objness)
+    class_score = jax.nn.sigmoid(class_pred) * conf
+    return bbox.reshape(b, -1, 4), class_score.reshape(b, -1, num_classes), conf.reshape(
+        b, -1, 1
+    )
 
 
 class YOLOv3(nn.Module):

@@ -114,6 +114,22 @@ def make_train_step(
             train=True,
             mutable=["batch_stats"],
         )
+        gt_boxes, gt_ids = batch["gt_boxes"], batch["gt_ids"]
+        gt_mix = batch.get("gt_mix") if mixup else None
+        if out["bbox"].ndim == 4:
+            # t_out model: per-timestep heads (B, T, N, ...) vs per-timestep
+            # gt (B, T, M, ...).  Folding T into the batch axis reproduces the
+            # reference's per-timestep loss averaging
+            # (yolo3_temporal.py:515-528) in one SPMD program.
+            bt = out["bbox"].shape[0] * out["bbox"].shape[1]
+            out = {k: v.reshape((bt,) + v.shape[2:]) for k, v in out.items()}
+            gt_boxes = gt_boxes.reshape((bt,) + gt_boxes.shape[2:])
+            gt_ids = gt_ids.reshape((bt,) + gt_ids.shape[2:])
+            if gt_mix is not None:
+                gt_mix = gt_mix.reshape((bt,) + gt_mix.shape[2:])
+        batch = dict(batch, gt_boxes=gt_boxes, gt_ids=gt_ids)
+        if gt_mix is not None:
+            batch["gt_mix"] = gt_mix
         tg = prefetch_targets(
             batch["gt_boxes"],
             batch["gt_ids"],
