@@ -158,8 +158,15 @@ def main(_argv):
 
     dataset = get_dataset(FLAGS.dataset)
     dataset._transform = YOLO3DefaultInferenceTransform(FLAGS.data_shape, FLAGS.data_shape)
+    # the sweep is resize+normalize only: route whole batches through the C++
+    # decode core when every sample is a JPEG (videoyolo_tpu/native)
+    probe = [dataset.sample_path(i) for i in range(min(len(dataset), 8))]
+    all_jpeg = all(p.lower().endswith((".jpg", ".jpeg")) for p in probe)
     loader = DetectionLoader(
-        dataset, batch_size=FLAGS.batch_size, num_workers=FLAGS.num_workers
+        dataset,
+        batch_size=FLAGS.batch_size,
+        num_workers=FLAGS.num_workers,
+        native_decode=(FLAGS.data_shape, FLAGS.data_shape) if all_jpeg else None,
     )
     extract(FLAGS.save_dir, dataset, loader)
     logging.info("Saved features for %d samples to %s", len(dataset), FLAGS.save_dir)

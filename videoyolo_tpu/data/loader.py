@@ -78,7 +78,12 @@ class DetectionLoader:
         shape_sizes: Optional[Sequence[int]] = None,
         shape_interval: int = 10,
         collate: Optional[Callable] = None,
+        native_decode: Optional[Sequence[int]] = None,
     ):
+        """`native_decode=(h, w)` routes whole batches through the C++
+        decode+resize+normalize core (native/loader.cc) instead of per-sample
+        Python transforms — the fast path for plain-image inference/extract
+        sweeps (labels still come from the dataset)."""
         assert last_batch in ("keep", "discard")
         self._dataset = dataset
         self._batch_size = batch_size
@@ -95,6 +100,12 @@ class DetectionLoader:
         self._collate = collate or (
             lambda samples: collate_detection(samples, self._max_boxes, self._mixup)
         )
+        self._native_hw = tuple(native_decode) if native_decode else None
+        if self._native_hw is not None:
+            from .. import native
+
+            if not native.available():
+                self._native_hw = None  # degrade to the Python path
 
     def __len__(self):
         n = len(self._dataset)
@@ -120,6 +131,16 @@ class DetectionLoader:
         sentinel = object()
 
         def make_batch(bi, chunk):
+            if self._native_hw is not None:
+                from .. import native
+
+                h, w = self._native_hw
+                paths = [self._dataset.sample_path(int(j)) for j in chunk]
+                imgs, _ = native.load_batch(paths, h, w)
+                return {
+                    "image": imgs,
+                    "idx": np.asarray([int(j) for j in chunk], np.int64),
+                }
             if self._transform_factory is not None and self._shape_sizes:
                 size = self._shape_sizes[
                     (bi // self._shape_interval) % len(self._shape_sizes)
