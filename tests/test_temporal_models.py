@@ -123,6 +123,21 @@ def test_correlation_matches_numpy():
             idx += 1
 
 
+def test_pallas_correlation_matches_xla():
+    """The Pallas cost-volume kernel (interpret mode on CPU) must match the
+    XLA reference exactly, incl. the stride-2 displacement grid."""
+    from videoyolo_tpu.ops.correlation import correlation
+    from videoyolo_tpu.ops.pallas_correlation import correlation_pallas
+
+    rs = np.random.RandomState(11)
+    f1 = jnp.asarray(rs.rand(2, 13, 11, 8), jnp.float32)
+    f2 = jnp.asarray(rs.rand(2, 13, 11, 8), jnp.float32)
+    for d, st in ((2, 1), (4, 2)):
+        ref = correlation(f1, f2, d, 1, 1, st)
+        out = correlation_pallas(f1, f2, d, stride2=st, row_tile=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5)
+
+
 def test_flownet_shapes():
     from videoyolo_tpu.models.flownet import FlowNetC, FlowNetS
 

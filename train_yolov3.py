@@ -442,12 +442,33 @@ def main(_argv):
         )
         example = jnp.zeros(shape, jnp.float32)
     variables = model.init(jax.random.PRNGKey(FLAGS.seed), example, train=False)
-    restored, start_epoch = resume_params(
-        FLAGS.resume, FLAGS.start_epoch, exp_dir, dict(variables)
-    )
-    if restored is not None:
-        variables = restored
-        logging.info("Resumed params (start_epoch=%d)", start_epoch)
+    if FLAGS.trained_on and FLAGS.resume:
+        # finetune path (reference train_yolov3.py:725-729): load params from
+        # a model trained on another class set, then weight-surgery the
+        # prediction heads onto this dataset's classes, reusing shared names
+        from videoyolo_tpu.models.surgery import reset_class
+
+        old_classes = list(get_dataset([FLAGS.trained_on], val=True).classes)
+        old_model = yolo3_darknet53(old_classes)
+        old_vars = old_model.init(jax.random.PRNGKey(FLAGS.seed), example, train=False)
+        restored, start_epoch = resume_params(
+            FLAGS.resume, FLAGS.start_epoch, exp_dir, dict(old_vars)
+        )
+        if restored is None:
+            raise FileNotFoundError(FLAGS.resume)
+        shared = [c for c in classes if c in old_classes]
+        variables = reset_class(restored, old_classes, list(classes), reuse_weights=shared)
+        logging.info(
+            "Finetuning from %s (%d classes) onto %d classes, %d reused",
+            FLAGS.trained_on, len(old_classes), len(classes), len(shared),
+        )
+    else:
+        restored, start_epoch = resume_params(
+            FLAGS.resume, FLAGS.start_epoch, exp_dir, dict(variables)
+        )
+        if restored is not None:
+            variables = restored
+            logging.info("Resumed params (start_epoch=%d)", start_epoch)
 
     train_loader, val_loader = get_dataloaders(train_dataset, val_dataset)
     logging.info(

