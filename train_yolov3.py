@@ -192,6 +192,13 @@ def get_dataloaders(train_dataset, val_dataset):
         tf = lambda w, h: YOLO3VideoTrainTransform(k, w, h, mixup=FLAGS.mixup)
     else:
         tf = lambda w, h: YOLO3DefaultTrainTransform(w, h, mixup=FLAGS.mixup)
+    # combined class-tree training ships multi-hot ancestor labels
+    multihot = (
+        train_dataset.num_class
+        if getattr(train_dataset, "name", "") == "comb"
+        and getattr(train_dataset, "parents", None)
+        else 0
+    )
     train_loader = DetectionLoader(
         train_dataset,
         batch_size=FLAGS.batch_size,
@@ -203,6 +210,7 @@ def get_dataloaders(train_dataset, val_dataset):
         transform_factory=tf,
         shape_sizes=sizes,
         shape_interval=10,
+        multihot=multihot,
     )
     val_loader = None
     if val_dataset is not None:

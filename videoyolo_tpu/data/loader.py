@@ -38,14 +38,19 @@ def pad_labels(labels: Sequence[np.ndarray], max_boxes: int) -> np.ndarray:
     return out
 
 
-def collate_detection(samples, max_boxes: int = 56, mixup: bool = False) -> Dict[str, np.ndarray]:
-    """Collate a list of (img, label[, idx]) into a fixed-shape batch dict."""
+def collate_detection(
+    samples, max_boxes: int = 56, mixup: bool = False, multihot: int = 0
+) -> Dict[str, np.ndarray]:
+    """Collate a list of (img, label[, idx]) into a fixed-shape batch dict.
+
+    `multihot=C` marks class-tree labels [l,t,r,b, c_0..c_{C-1}(,mix)]
+    (combined.py:186-202): gt_ids becomes the (B, M, C) multi-hot block."""
     imgs = np.stack([s[0] for s in samples]).astype(np.float32)
     labels = pad_labels([np.atleast_2d(s[1]) for s in samples], max_boxes)
     batch = {
         "image": imgs,
         "gt_boxes": labels[..., :4],
-        "gt_ids": labels[..., 4:5],
+        "gt_ids": labels[..., 4 : 4 + multihot] if multihot else labels[..., 4:5],
         "label": labels,
     }
     if mixup:
@@ -79,6 +84,7 @@ class DetectionLoader:
         shape_interval: int = 10,
         collate: Optional[Callable] = None,
         native_decode: Optional[Sequence[int]] = None,
+        multihot: int = 0,
     ):
         """`native_decode=(h, w)` routes whole batches through the C++
         decode+resize+normalize core (native/loader.cc) instead of per-sample
@@ -98,7 +104,9 @@ class DetectionLoader:
         self._shape_sizes = list(shape_sizes) if shape_sizes else None
         self._shape_interval = shape_interval
         self._collate = collate or (
-            lambda samples: collate_detection(samples, self._max_boxes, self._mixup)
+            lambda samples: collate_detection(
+                samples, self._max_boxes, self._mixup, multihot
+            )
         )
         self._native_hw = tuple(native_decode) if native_decode else None
         if self._native_hw is not None:
