@@ -80,6 +80,12 @@ flags.DEFINE_string("h_join_type", None, "Hierarchical darknet join: max or conv
 flags.DEFINE_list("hier", [1, 1, 1, 1, 1], "Hierarchical factors.")
 flags.DEFINE_integer("max_epoch_time", -1, "Max minutes an epoch can run before cutoff.")
 flags.DEFINE_string("experiment_root", os.path.join("models", "experiments"), "Experiment directory root.")
+flags.DEFINE_string(
+    "profile_dir", "",
+    "If set, capture a JAX device profile of train steps 10-20 of the first "
+    "epoch to this directory (the TPU-native upgrade of the reference's "
+    "wall-clock samples/sec logging, SURVEY.md §5).",
+)
 
 
 def _get_single_dataset(name, val=False):
@@ -331,8 +337,17 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
         tic = time.time()
         btic = time.time()
         seen = 0
+        profiling = False
         with mesh:
             for i, batch in enumerate(train_loader):
+                if FLAGS.profile_dir and epoch == start_epoch:
+                    if i == min(10, len(train_loader) - 1):
+                        jax.profiler.start_trace(FLAGS.profile_dir)
+                        profiling = True
+                    elif i == min(20, len(train_loader)) and profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logging.info("Wrote device profile to %s", FLAGS.profile_dir)
                 dev_batch = {
                     k: v for k, v in batch.items() if k in ("image", "gt_boxes", "gt_ids", "gt_mix")
                 }
@@ -356,6 +371,8 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
                 if FLAGS.max_epoch_time > 0 and (time.time() - tic) / 60 > FLAGS.max_epoch_time:
                     logging.info("Epoch %d cut off at max_epoch_time", epoch)
                     break
+        if profiling:  # epoch shorter than the capture window
+            jax.profiler.stop_trace()
         logging.info(
             "[Epoch %d] done in %.1fs, %.3f samples/sec",
             epoch, time.time() - tic, seen / max(time.time() - tic, 1e-9),
