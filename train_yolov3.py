@@ -52,6 +52,11 @@ flags.DEFINE_boolean("pretrained_cnn", True, "Use an imagenet pretrained cnn as 
 flags.DEFINE_boolean("syncbn", False, "Kept for CLI parity; BN stats are always global-batch under pjit.")
 flags.DEFINE_boolean("no_random_shape", False, "Use fixed data_shape throughout training.")
 flags.DEFINE_boolean("no_wd", False, "Remove weight decay on bias/beta/gamma of BN layers.")
+flags.DEFINE_boolean(
+    "nd_only", False,
+    "Run the train step eagerly instead of jit-compiled (debugging; the "
+    "reference's no-hybridize escape hatch, train_yolov3.py:64-65).",
+)
 flags.DEFINE_boolean("mixup", False, "Enable mixup?")
 flags.DEFINE_integer("no_mixup_epochs", 20, "Disable mixup in the last N epochs.")
 flags.DEFINE_boolean("label_smooth", False, "Use label smoothing?")
@@ -297,15 +302,14 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
 
     mesh = make_mesh()
     state = jax.device_put(state, replicated_sharding(mesh))
-    train_step = jax.jit(
-        make_train_step(
-            model,
-            num_classes=num_classes,
-            label_smooth=FLAGS.label_smooth,
-            mixup=FLAGS.mixup,
-        ),
-        donate_argnums=(0,),
+    train_step = make_train_step(
+        model,
+        num_classes=num_classes,
+        label_smooth=FLAGS.label_smooth,
+        mixup=FLAGS.mixup,
     )
+    if not FLAGS.nd_only:
+        train_step = jax.jit(train_step, donate_argnums=(0,))
 
     writer = None
     try:
