@@ -131,13 +131,28 @@ def extract(save_dir, dataset, loader):
             variables = loaded
         logging.info("Loaded backbone weights from %s", FLAGS.model_path)
 
+    # sharded sweep: batch axis split over every chip on the mesh
+    # (the BASELINE's "sharded pmap over clips"; one program, psum-free)
+    from videoyolo_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+
+    mesh = make_mesh()
+    variables = jax.device_put(variables, replicated_sharding(mesh))
+
     @jax.jit
     def step(images):
         return model.apply(variables, images, train=False)
 
     os.makedirs(save_dir, exist_ok=True)
+    n_dev = len(mesh.devices.flat)
     for batch in loader:
-        f1, f2, f3 = [np.asarray(f) for f in step(batch["image"])]
+        imgs = batch["image"]
+        n = imgs.shape[0]
+        pad = (-n) % n_dev  # pad the tail batch to a shardable multiple
+        if pad:
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        with mesh:
+            images = shard_batch({"image": imgs}, mesh)["image"]
+            f1, f2, f3 = [np.asarray(f)[:n] for f in step(images)]
         for i in range(f1.shape[0]):
             idx = int(batch["idx"][i])
             img_path = dataset.sample_path(idx)
