@@ -53,6 +53,15 @@ flags.DEFINE_boolean("syncbn", False, "Kept for CLI parity; BN stats are always 
 flags.DEFINE_boolean("no_random_shape", False, "Use fixed data_shape throughout training.")
 flags.DEFINE_boolean("no_wd", False, "Remove weight decay on bias/beta/gamma of BN layers.")
 flags.DEFINE_boolean(
+    "remat", False,
+    "Rematerialise backbone activations in the train step (fit batch >32 "
+    "per chip at 416px for ~15% recompute).",
+)
+flags.DEFINE_string(
+    "dtype", "bf16",
+    "Model compute dtype: bf16 (MXU-native) or f32.",
+)
+flags.DEFINE_boolean(
     "nd_only", False,
     "Run the train step eagerly instead of jit-compiled (debugging; the "
     "reference's no-hybridize escape hatch, train_yolov3.py:64-65).",
@@ -446,8 +455,13 @@ def main(_argv):
             jnp.zeros((1, s // 32, s // 32, 1024), jnp.float32),
         )
     else:
+        import jax.numpy as _jnp
+
+        dtype = _jnp.bfloat16 if FLAGS.dtype == "bf16" else None
         model = yolo3_darknet53(
             list(classes),
+            dtype=dtype,
+            remat=FLAGS.remat,
             k=k,
             k_join_type=FLAGS.k_join_type,
             k_join_pos=FLAGS.k_join_pos,

@@ -48,6 +48,7 @@ class YoloConfig:
     t_out: bool = False
     conv_types: Sequence[int] = (2, 2, 2, 2, 2, 2)
     funnel_time: bool = False
+    remat: bool = False  # rematerialise backbone activations (2D model)
     dtype: object = None
 
     def validate(self):
@@ -142,7 +143,10 @@ def build_model(cfg: YoloConfig):
             agnostic=cfg.agnostic,
             dtype=cfg.dtype,
         )
-    return YOLOv3(num_classes=cfg.num_classes, agnostic=cfg.agnostic, dtype=cfg.dtype)
+    return YOLOv3(
+        num_classes=cfg.num_classes, agnostic=cfg.agnostic, remat=cfg.remat,
+        dtype=cfg.dtype,
+    )
 
 
 def yolo3_3ddarknet(classes, conv_types=(2, 2, 2, 2, 2, 2), agnostic=False, dtype=None, **kwargs):

@@ -139,12 +139,18 @@ class YOLOv3(nn.Module):
     channels: Sequence[int] = FPN_CHANNELS
     agnostic: bool = False
     use_backbone: bool = True
+    remat: bool = False  # rematerialise backbone activations (large-batch train)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.use_backbone:
-            routes = Darknet53(name="backbone", dtype=self.dtype)(x, train)
+            # jax.checkpoint on the backbone trades FLOPs for HBM: at 416px
+            # the full activation set spills beyond a v5e chip past batch ~32
+            cls = (
+                nn.remat(Darknet53, static_argnums=(2,)) if self.remat else Darknet53
+            )
+            routes = cls(name="backbone", dtype=self.dtype)(x, train)
         else:
             routes = tuple(x)
         assert len(routes) == 3
