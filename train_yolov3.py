@@ -204,6 +204,35 @@ def get_dataloaders(train_dataset, val_dataset):
     window = [int(w) for w in FLAGS.window]
     k = window[0]
     num_workers = FLAGS.num_workers if FLAGS.num_workers > 0 else (os.cpu_count() or 4)
+    if FLAGS.features_dir:
+        # no-backbone head: features are fixed-scale, no random shapes
+        from videoyolo_tpu.data.loader import collate_features
+        from videoyolo_tpu.data.transforms import (
+            YOLO3NBInferenceTransform,
+            YOLO3NBTrainTransform,
+        )
+
+        s = FLAGS.data_shape
+        train_dataset._transform = YOLO3NBTrainTransform(s, s)
+        train_loader = DetectionLoader(
+            train_dataset,
+            batch_size=FLAGS.batch_size,
+            shuffle=True,
+            last_batch="discard",
+            num_workers=num_workers,
+            seed=FLAGS.seed,
+            collate=collate_features,
+        )
+        val_loader = None
+        if val_dataset is not None:
+            val_dataset._transform = YOLO3NBInferenceTransform(s, s)
+            val_loader = DetectionLoader(
+                val_dataset,
+                batch_size=FLAGS.batch_size,
+                num_workers=num_workers,
+                collate=collate_features,
+            )
+        return train_loader, val_loader
     if FLAGS.no_random_shape:
         sizes = [FLAGS.data_shape]
     else:
@@ -257,9 +286,15 @@ def validate(model, state, val_loader, val_dataset, metric):
     eval_step = jax.jit(make_eval_step(model))
     metric.reset()
     for batch in val_loader:
-        ids, scores, bboxes = eval_step(state.params, state.batch_stats, batch["image"])
+        x = tuple(batch["features"]) if "features" in batch else batch["image"]
+        ids, scores, bboxes = eval_step(state.params, state.batch_stats, x)
         ids, scores, bboxes = np.asarray(ids), np.asarray(scores), np.asarray(bboxes)
-        bboxes = bboxes.clip(0, batch["image"].shape[-2])
+        size = (
+            batch["image"].shape[-2]
+            if "image" in batch
+            else batch["features"][0].shape[-2] * 8
+        )
+        bboxes = bboxes.clip(0, size)
         label = batch["label"]
         metric.update(
             bboxes, ids, scores,
@@ -362,15 +397,17 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
                         profiling = False
                         logging.info("Wrote device profile to %s", FLAGS.profile_dir)
                 dev_batch = {
-                    k: v for k, v in batch.items() if k in ("image", "gt_boxes", "gt_ids", "gt_mix")
+                    k: v
+                    for k, v in batch.items()
+                    if k in ("image", "features", "gt_boxes", "gt_ids", "gt_mix")
                 }
                 dev_batch = shard_batch(dev_batch, mesh)
                 state, metrics = train_step(state, dev_batch)
-                seen += batch["image"].shape[0]
+                seen += batch["label"].shape[0]
                 global_step += 1
                 if FLAGS.log_interval and (i + 1) % FLAGS.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    rate = FLAGS.log_interval * batch["image"].shape[0] / (time.time() - btic)
+                    rate = FLAGS.log_interval * batch["label"].shape[0] / (time.time() - btic)
                     logging.info(
                         "[Epoch %d][Batch %d], LR: %.2E, Speed: %.3f samples/sec, "
                         "ObjLoss=%.3f, BoxCenterLoss=%.3f, BoxScaleLoss=%.3f, ClassLoss=%.3f",

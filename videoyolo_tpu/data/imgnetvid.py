@@ -183,6 +183,10 @@ class ImageNetVidDetection(DetectionDataset):
             p = self.sample_path(idx)
             img = read_image(p)
             f1, f2, f3 = load_feats(p)
+        if self._transform is not None:  # NB transforms (box rescale)
+            if self._inference:
+                return self._transform(img, f1, f2, f3, label, idx)
+            return self._transform(img, f1, f2, f3, label)
         if self._inference:
             return img, f1, f2, f3, label, idx
         return img, f1, f2, f3, label

@@ -60,6 +60,26 @@ def collate_detection(
     return batch
 
 
+def collate_features(samples, max_boxes: int = 56, mixup: bool = False) -> Dict[str, np.ndarray]:
+    """Collate no-backbone samples (f1, f2, f3, label[, idx]) into a batch
+    with a 'features' tuple instead of 'image'."""
+    f1 = np.stack([s[0] for s in samples]).astype(np.float32)
+    f2 = np.stack([s[1] for s in samples]).astype(np.float32)
+    f3 = np.stack([s[2] for s in samples]).astype(np.float32)
+    labels = pad_labels([np.atleast_2d(s[3]) for s in samples], max_boxes)
+    batch = {
+        "features": (f1, f2, f3),
+        "gt_boxes": labels[..., :4],
+        "gt_ids": labels[..., 4:5],
+        "label": labels,
+    }
+    if mixup:
+        batch["gt_mix"] = labels[..., -1:]
+    if len(samples[0]) > 4:
+        batch["idx"] = np.asarray([s[4] for s in samples], np.int64)
+    return batch
+
+
 class DetectionLoader:
     """Iterable over fixed-shape batches with background prefetch.
 

@@ -88,6 +88,10 @@ class VOCDetection(DetectionDataset):
                 np.load(os.path.join(self._features_dir, f"{file_id}_F{i}.npy"))
                 for i in (1, 2, 3)
             ]
+            if self._transform is not None:  # NB transforms (box rescale)
+                if self._inference:
+                    return self._transform(img, *feats, label, idx)
+                return self._transform(img, *feats, label)
             if self._inference:
                 return (img, *feats, label, idx)
             return (img, *feats, label)

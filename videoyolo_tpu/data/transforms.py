@@ -402,6 +402,38 @@ class YOLO3VideoInferenceTransform:
         return imgs, bbox
 
 
+class YOLO3NBTrainTransform:
+    """No-backbone (pre-extracted feature) train transform
+    (reference yolo/transforms.py:353-425): features pass through untouched —
+    they were extracted at a fixed scale — and only the boxes rescale from
+    the source image size to the network input size.  Target generation
+    happens on-device here, so nothing else is needed."""
+
+    def __init__(self, width, height):
+        self._width = width
+        self._height = height
+
+    def __call__(self, img, f1, f2, f3, bbox):
+        h, w = img.shape[-3], img.shape[-2]
+        bbox = bbox_resize(bbox, (w, h), (self._width, self._height))
+        return f1, f2, f3, np.asarray(bbox, np.float32)
+
+
+class YOLO3NBInferenceTransform:
+    """No-backbone validation transform (yolo/transforms.py:426-457)."""
+
+    def __init__(self, width, height):
+        self._width = width
+        self._height = height
+
+    def __call__(self, img, f1, f2, f3, bbox, idx=None):
+        h, w = img.shape[-3], img.shape[-2]
+        bbox = bbox_resize(bbox, (w, h), (self._width, self._height))
+        if idx is not None:
+            return f1, f2, f3, np.asarray(bbox, np.float32), idx
+        return f1, f2, f3, np.asarray(bbox, np.float32)
+
+
 class MixupDetection:
     """Dataset wrapper: beta(alpha,beta)-mixed image pairs with the mix ratio
     appended as the label's last column (gluoncv MixupDetection semantics,

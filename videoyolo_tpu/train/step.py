@@ -107,10 +107,15 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, batch):
-        hw = input_hw or tuple(batch["image"].shape[-3:-1])
+        if "features" in batch:  # no-backbone head over pre-extracted routes
+            x = tuple(batch["features"])
+            hw = input_hw or (x[0].shape[-3] * 8, x[0].shape[-2] * 8)
+        else:
+            x = batch["image"]
+            hw = input_hw or tuple(x.shape[-3:-1])
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"],
+            x,
             train=True,
             mutable=["batch_stats"],
         )
