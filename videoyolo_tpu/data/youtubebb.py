@@ -142,6 +142,10 @@ class YouTubeBBDetection(DetectionDataset):
     def _sid_path(self, sid):
         return self._image_path.format(sid.split(",")[0], sid.split(",")[-1])
 
+    def window_paths(self, idx):
+        """Frame paths of the sample's temporal window (mult_out detect)."""
+        return [self._sid_path(s) for s in self._windows[self.sample_ids[idx]]]
+
     def __getitem__(self, idx):
         label = self._load_label(idx)[:, :-1]  # strip track id
         if self._window_size > 1:
