@@ -26,7 +26,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BN_EPS, BN_MOMENTUM, ConvBNLeaky, ConvBNLeaky3D, leaky, temporal_pad
+from .layers import ConvBNLeaky, ConvBNLeaky3D, temporal_pad
 
 DARKNET_LAYERS = (1, 2, 8, 8, 4)
 DARKNET_CHANNELS = (32, 64, 128, 256, 512, 1024)

@@ -8,12 +8,9 @@ location, so the config surface is complete and honest.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
-import jax.numpy as jnp
-
-from ..ops.anchors import DEFAULT_ANCHORS, DEFAULT_STRIDES
 from .yolo3 import YOLOv3
 
 __all__ = [

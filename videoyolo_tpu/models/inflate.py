@@ -20,7 +20,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .darknet3d import DARKNET_CHANNELS, DARKNET_LAYERS
+from .darknet3d import DARKNET_LAYERS
 from ..utils.gluon_import import _flax_darknet_conv_paths
 
 __all__ = ["inflate_darknet53_to_3d"]

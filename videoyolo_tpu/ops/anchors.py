@@ -11,7 +11,6 @@ jit, so we build exactly-sized grids per feature-map resolution at trace time.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,6 @@ import glob
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import numpy as np
 from flax import serialization
 
 __all__ = ["save_variables", "load_variables", "save_params", "resume_params", "find_latest"]
