@@ -661,6 +661,7 @@ def main(_argv):
     if predictions is None:
         from videoyolo_tpu.data.transforms import YOLO3VideoInferenceTransform
 
+        native_hw = None
         if window[0] > 1:
             dataset._transform = YOLO3VideoInferenceTransform(
                 FLAGS.data_shape, FLAGS.data_shape
@@ -669,8 +670,19 @@ def main(_argv):
             dataset._transform = YOLO3DefaultInferenceTransform(
                 FLAGS.data_shape, FLAGS.data_shape
             )
+            # single-frame JPEG datasets take the C++ decode fast path
+            # (videoyolo_tpu/native); labels are re-read at eval time anyway
+            probe = [dataset.sample_path(i) for i in range(min(len(dataset), 8))]
+            if all(
+                isinstance(p, str) and p.lower().endswith((".jpg", ".jpeg"))
+                for p in probe
+            ):
+                native_hw = (FLAGS.data_shape, FLAGS.data_shape)
         loader = DetectionLoader(
-            dataset, batch_size=FLAGS.batch_size, num_workers=FLAGS.num_workers
+            dataset,
+            batch_size=FLAGS.batch_size,
+            num_workers=FLAGS.num_workers,
+            native_decode=native_hw,
         )
         model, variables = get_net_and_params(len(classes))
         boxes = detect(model, variables, dataset, loader, FLAGS.max_do)
