@@ -289,6 +289,13 @@ def validate(model, state, val_loader, val_dataset, metric):
         x = tuple(batch["features"]) if "features" in batch else batch["image"]
         ids, scores, bboxes = eval_step(state.params, state.batch_stats, x)
         ids, scores, bboxes = np.asarray(ids), np.asarray(scores), np.asarray(bboxes)
+        label = batch["label"]
+        if ids.ndim == 4:  # t_out: fold the per-frame axis into the batch
+            bt = ids.shape[0] * ids.shape[1]
+            ids, scores, bboxes = (
+                a.reshape((bt,) + a.shape[2:]) for a in (ids, scores, bboxes)
+            )
+            batch = dict(batch, label=label.reshape((bt,) + label.shape[2:]))
         size = (
             batch["image"].shape[-2]
             if "image" in batch

@@ -44,9 +44,15 @@ def collate_detection(
     """Collate a list of (img, label[, idx]) into a fixed-shape batch dict.
 
     `multihot=C` marks class-tree labels [l,t,r,b, c_0..c_{C-1}(,mix)]
-    (combined.py:186-202): gt_ids becomes the (B, M, C) multi-hot block."""
+    (combined.py:186-202): gt_ids becomes the (B, M, C) multi-hot block.
+    mult_out samples carry a LIST of per-frame labels -> (B, T, M, D)."""
     imgs = np.stack([s[0] for s in samples]).astype(np.float32)
-    labels = pad_labels([np.atleast_2d(s[1]) for s in samples], max_boxes)
+    if isinstance(samples[0][1], (list, tuple)):
+        labels = np.stack(
+            [pad_labels([np.atleast_2d(l) for l in s[1]], max_boxes) for s in samples]
+        )
+    else:
+        labels = pad_labels([np.atleast_2d(s[1]) for s in samples], max_boxes)
     batch = {
         "image": imgs,
         "gt_boxes": labels[..., :4],

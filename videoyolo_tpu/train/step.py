@@ -184,6 +184,16 @@ def make_eval_step(
         boxes, scores = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
+        if boxes.ndim == 4:  # t_out: fold per-frame axis through the NMS
+            b, t = boxes.shape[0], boxes.shape[1]
+            outs = postprocess(
+                boxes.reshape((b * t,) + boxes.shape[2:]),
+                scores.reshape((b * t,) + scores.shape[2:]),
+                nms_thresh=nms_thresh,
+                nms_topk=nms_topk,
+                post_nms=post_nms,
+            )
+            return tuple(o.reshape((b, t) + o.shape[1:]) for o in outs)
         return postprocess(
             boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms
         )
