@@ -120,3 +120,18 @@ def test_temporal_metric():
     names, values = m.get()
     assert any(n.startswith("t0:") for n in names)
     assert any(n.startswith("t1:") for n in names)
+
+
+def test_update_without_difficults_multiple_gts():
+    """Regression: gt_difficults=None with >1 valid gt must not be wrapped
+    into a 0-d object array (np.asarray(None)) — found driving combined
+    class-tree validation where VID batches carry no difficult column."""
+    m = VOCMApMetric(iou_thresh=0.5, class_names=["a", "b"])
+    gt_boxes = np.array([[[0, 0, 10, 10], [20, 20, 40, 40]]], np.float64)
+    gt_ids = np.array([[[0], [1]]], np.float64)
+    preds = np.array([[[0, 0, 10, 10], [20, 20, 40, 40]]], np.float64)
+    pred_ids = np.array([[[0], [1]]], np.float64)
+    scores = np.array([[[0.9], [0.8]]], np.float64)
+    m.update(preds, pred_ids, scores, gt_boxes, gt_ids, None)
+    names, values = m.get()
+    assert values[-1] == 1.0

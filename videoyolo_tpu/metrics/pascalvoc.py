@@ -24,7 +24,9 @@ __all__ = ["VOCMApMetric", "VOC07MApMetric", "VOCMApMetricTemporal"]
 
 def _as_numpy(x):
     if isinstance(x, (list, tuple)):
-        return [np.asarray(a) for a in x]
+        # keep per-image None (missing difficult flags) as None — asarray
+        # would wrap it into a 0-d object array and defeat the `is None` check
+        return [None if a is None else np.asarray(a) for a in x]
     return np.asarray(x)
 
 
