@@ -189,6 +189,8 @@ class YOLOv3T(nn.Module):
         assert self.k_join_type in (None, "max", "mean", "cat")
         assert self.k_join_pos in (None, "early", "late")
         assert self.corr_pos in (None, "early", "late")
+        if self.corr_pos is not None:
+            assert self.corr_d, "corr_pos requires corr_d > 0"
         if self.block_conv_type in ("3", "21"):
             assert self.k > 1, "3D/2+1D blocks need k > 1"
             assert self.k_join_pos == "late", "3D/2+1D blocks join late"
