@@ -64,6 +64,7 @@ class Darknet53(nn.Module):
 
     layers: Sequence[int] = DARKNET53_LAYERS
     channels: Sequence[int] = DARKNET53_CHANNELS
+    remat_stages: int = 0  # rematerialise the first N stages (high-res ones)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -74,7 +75,11 @@ class Darknet53(nn.Module):
         )
         routes = []
         for i, (nblocks, ch) in enumerate(zip(self.layers, self.channels[1:])):
-            x = DarknetStage(ch, nblocks, name=f"stage{i + 1}", dtype=self.dtype)(x, train)
+            # selective remat: the high-resolution groups dominate activation
+            # memory; recomputing only them frees most of the HBM for a
+            # fraction of full-backbone recompute
+            cls = nn.remat(DarknetStage, static_argnums=(2,)) if i < self.remat_stages else DarknetStage
+            x = cls(ch, nblocks, name=f"stage{i + 1}", dtype=self.dtype)(x, train)
             if i >= 2:  # 256, 512, 1024-channel groups are the FPN routes
                 routes.append(x)
         return tuple(routes)
