@@ -70,3 +70,32 @@ def test_nb_train_and_eval_step():
     eval_step = make_eval_step(model)
     ids, scores, boxes = eval_step(state.params, state.batch_stats, feats)
     assert boxes.shape == (2, 100, 4)
+
+
+def test_grad_accumulation_close_to_plain():
+    """accum_steps=2 over the same data approximates the single-step update;
+    exact equality is impossible with BatchNorm (micro-batch statistics),
+    so assert closeness and finiteness."""
+    rs = np.random.RandomState(3)
+    feats = tuple(
+        jnp.asarray(rs.rand(4, s, s, c), jnp.float32)
+        for s, c in ((S // 8, 256), (S // 16, 512), (S // 32, 1024))
+    )
+    model = yolo3_no_backbone(4)
+    v = model.init(jax.random.PRNGKey(0), tuple(f[:1] for f in feats), train=False)
+    gt_boxes = np.full((4, 4, 4), -1.0, np.float32)
+    gt_ids = np.full((4, 4, 1), -1.0, np.float32)
+    gt_boxes[:, 0] = [5, 5, 30, 30]
+    gt_ids[:, 0] = 1
+    batch = {"features": feats, "gt_boxes": gt_boxes, "gt_ids": gt_ids}
+    lr = lr_schedule("step", 1e-3, steps_per_epoch=2, epochs=1)
+    s1 = create_train_state(model, v, lr)
+    s2 = create_train_state(model, v, lr)
+    s1, m1 = jax.jit(make_train_step(model, num_classes=4))(s1, batch)
+    s2, m2 = jax.jit(make_train_step(model, num_classes=4, accum_steps=2))(s2, batch)
+    assert all(np.isfinite(float(x)) for x in m2.values())
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 0.05
+    assert int(s2.step) == 1  # one optimizer update despite two micro-steps

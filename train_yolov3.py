@@ -61,6 +61,11 @@ flags.DEFINE_string(
     "dtype", "bf16",
     "Model compute dtype: bf16 (MXU-native) or f32.",
 )
+flags.DEFINE_integer(
+    "accum_steps", 1,
+    "Gradient-accumulation micro-steps per optimizer update (effective "
+    "batches past the per-chip HBM limit).",
+)
 flags.DEFINE_boolean(
     "nd_only", False,
     "Run the train step eagerly instead of jit-compiled (debugging; the "
@@ -358,6 +363,7 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
         num_classes=num_classes,
         label_smooth=FLAGS.label_smooth,
         mixup=FLAGS.mixup,
+        accum_steps=FLAGS.accum_steps,
     )
     if not FLAGS.nd_only:
         train_step = jax.jit(train_step, donate_argnums=(0,))

@@ -91,9 +91,15 @@ def make_train_step(
     label_smooth: bool = False,
     mixup: bool = False,
     input_hw: Optional[Tuple[int, int]] = None,
+    accum_steps: int = 1,
     dtype=None,
 ):
     """Returns train_step(state, batch) -> (state, metrics).
+
+    `accum_steps > 1` splits the batch into that many micro-batches and
+    accumulates gradients over a `lax.scan` before one optimizer update —
+    effective batches beyond the HBM limit (v5e at 416px fits ~64 with
+    remat; accumulation reaches 128+).
 
     batch: dict with
       image      (B, H, W, 3)  normalized
@@ -168,7 +174,37 @@ def make_train_step(
         metrics["total"] = total
         return state, metrics
 
-    return train_step
+    if accum_steps <= 1:
+        return train_step
+
+    def split_micro(x):
+        return x.reshape((accum_steps, x.shape[0] // accum_steps) + x.shape[1:])
+
+    def accum_step(state: TrainState, batch):
+        micro = jax.tree_util.tree_map(split_micro, dict(batch))
+
+        def body(carry, mb):
+            grads_acc, bs, tot, mets = carry
+            (total, (new_bs, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, bs, mb)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            mets = {k: mets[k] + metrics[k] for k in metrics}
+            return (grads_acc, new_bs, tot + total, mets), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_metrics = {k: jnp.zeros(()) for k in ("obj", "center", "scale", "cls")}
+        (grads, new_bs, total, metrics), _ = jax.lax.scan(
+            body, (zero_grads, state.batch_stats, jnp.zeros(()), zero_metrics), micro
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_bs)
+        metrics = {k: v / accum_steps for k, v in metrics.items()}
+        metrics["total"] = total / accum_steps
+        return state, metrics
+
+    return accum_step
 
 
 def make_eval_step(
