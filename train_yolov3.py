@@ -49,6 +49,12 @@ flags.DEFINE_integer("warmup_epochs", 0, "Number of warmup epochs.")
 flags.DEFINE_float("momentum", 0.9, "SGD momentum.")
 flags.DEFINE_float("wd", 0.0005, "Weight decay.")
 flags.DEFINE_boolean("pretrained_cnn", True, "Use an imagenet pretrained cnn as base network.")
+flags.DEFINE_string(
+    "pretrained_base_path", "",
+    "Explicit path to gluoncv darknet53 .params for --pretrained_cnn; empty "
+    "= search $MXNET_HOME/models, ~/.mxnet/models and <dataset_root>/weights "
+    "(the gluoncv model-zoo cache locations the reference resolves from).",
+)
 flags.DEFINE_boolean("syncbn", False, "Kept for CLI parity; BN stats are always global-batch under pjit.")
 flags.DEFINE_boolean("no_random_shape", False, "Use fixed data_shape throughout training.")
 flags.DEFINE_boolean("no_wd", False, "Remove weight decay on bias/beta/gamma of BN layers.")
@@ -344,7 +350,11 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
         lr_decay=FLAGS.lr_decay,
         lr_decay_epochs=lr_decay_epoch,
     )
-    tx = make_optimizer(lr_fn, FLAGS.momentum, FLAGS.wd, no_wd_bn=FLAGS.no_wd)
+    tx = make_optimizer(
+        lr_fn, FLAGS.momentum, FLAGS.wd,
+        no_wd_bn=FLAGS.no_wd,
+        freeze_base=FLAGS.freeze_base,
+    )
     import jax.numpy as jnp
     from flax.core import FrozenDict
 
@@ -459,6 +469,86 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
     return state
 
 
+def _find_pretrained_base():
+    """Resolve the ImageNet-pretrained darknet53 .params file, mirroring the
+    gluoncv model-zoo cache the reference loads from (darknet.py:101)."""
+    import glob
+
+    if FLAGS.pretrained_base_path:
+        if not os.path.exists(FLAGS.pretrained_base_path):
+            raise FileNotFoundError(FLAGS.pretrained_base_path)
+        return FLAGS.pretrained_base_path
+    roots = [
+        os.path.join(os.environ.get("MXNET_HOME", os.path.expanduser("~/.mxnet")), "models"),
+        os.path.join(FLAGS.dataset_root, "weights"),
+    ]
+    for root in roots:
+        found = sorted(glob.glob(os.path.join(root, "darknet53*.params")))
+        if found:
+            return found[0]
+    return None
+
+
+def _load_pretrained_base(variables, conv_types, example, seed):
+    """Load (or 2D->3D inflate) ImageNet darknet53 weights into `variables`.
+
+    Fails loudly when weights are unavailable: silently training from a
+    random base (the round-1 behaviour) diverges drastically from the
+    reference's pretrained-base default (train_yolov3.py:351,
+    darknet.py:101).  Pass --nopretrained_cnn to opt out.
+    """
+    from videoyolo_tpu.utils.gluon_import import load_gluon_darknet53
+
+    path = _find_pretrained_base()
+    if path is None:
+        raise RuntimeError(
+            "--pretrained_cnn (default) needs ImageNet darknet53 weights but "
+            "none were found. Provide --pretrained_base_path, place "
+            "darknet53*.params under ~/.mxnet/models or "
+            f"{FLAGS.dataset_root}/weights, or pass --nopretrained_cnn to "
+            "train the base from scratch."
+        )
+    if "backbone" not in variables["params"]:
+        raise RuntimeError(
+            "--pretrained_cnn is not wired for models without a 'backbone' "
+            "scope (YOLOv3Temporal builds its base inline); pass "
+            "--nopretrained_cnn or warm-start via --resume."
+        )
+    if any(int(c) != 2 for c in conv_types):
+        # 3D/2+1D base: load the 2D weights into a scratch Darknet53 tree,
+        # then inflate (reference three_darknet.py:274-318)
+        import jax
+        import jax.numpy as jnp
+
+        from videoyolo_tpu.models.darknet import Darknet53
+        from videoyolo_tpu.models.inflate import inflate_darknet53_to_3d
+
+        d2 = Darknet53()
+        hw = tuple(example.shape[-3:-1])
+        v2 = d2.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1,) + hw + (3,), jnp.float32), False
+        )
+        v2 = load_gluon_darknet53(dict(v2), path, prefix="")
+        sub = {
+            "params": variables["params"]["backbone"],
+            "batch_stats": variables["batch_stats"]["backbone"],
+        }
+        sub = inflate_darknet53_to_3d(
+            v2, sub, tuple(int(c) for c in conv_types)
+        )
+        variables = {
+            k: dict(v) if hasattr(v, "items") else v for k, v in variables.items()
+        }
+        variables["params"] = dict(variables["params"])
+        variables["batch_stats"] = dict(variables["batch_stats"])
+        variables["params"]["backbone"] = sub["params"]
+        variables["batch_stats"]["backbone"] = sub["batch_stats"]
+    else:
+        variables = load_gluon_darknet53(variables, path, prefix="backbone")
+    logging.info("Loaded ImageNet-pretrained darknet53 base from %s", path)
+    return variables
+
+
 def main(_argv):
     import jax
 
@@ -562,6 +652,12 @@ def main(_argv):
         if restored is not None:
             variables = restored
             logging.info("Resumed params (start_epoch=%d)", start_epoch)
+        elif FLAGS.pretrained_cnn and not FLAGS.features_dir:
+            # fresh run: warm-start the base network from ImageNet weights
+            # (reference default, train_yolov3.py:351 pretrained_base=True)
+            variables = _load_pretrained_base(
+                variables, FLAGS.conv_types, example, FLAGS.seed
+            )
 
     train_loader, val_loader = get_dataloaders(train_dataset, val_dataset)
     logging.info(

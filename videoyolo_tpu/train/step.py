@@ -30,7 +30,32 @@ from ..ops.losses import yolo3_loss
 from ..ops.targets import merge_targets, prefetch_targets
 from ..models.yolo3 import postprocess
 
-__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "freeze_base_mask",
+]
+
+# Top-level flax scopes holding the base (backbone) network across the model
+# family: "backbone" for YOLOv3/YOLOv3T/TB/TS (submodule-attribute scope),
+# "conv0"/"stage1-3" for YOLOv3Temporal's inline darknet.
+_BASE_SCOPES = ("backbone", "conv0", "stage1", "stage2", "stage3")
+
+
+def freeze_base_mask(params):
+    """Bool pytree marking base-network params (True = frozen).
+
+    The reference freezes the base by setting grad_req='null' on every
+    backbone param (`wrappers.py:50-57`); here the same effect is an optax
+    mask that zeroes the final updates for those leaves (BN running stats
+    still update in the forward pass, matching gluon's aux behaviour).
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: str(getattr(path[0], "key", "")) in _BASE_SCOPES,
+        params,
+    )
 
 
 class TrainState(struct.PyTreeNode):
@@ -53,8 +78,12 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 5e-4,
     no_wd_bn: bool = False,
+    freeze_base: bool = False,
 ) -> optax.GradientTransformation:
-    """SGD+momentum+coupled-L2, reference defaults (train_yolov3.py:77-85)."""
+    """SGD+momentum+coupled-L2, reference defaults (train_yolov3.py:77-85).
+
+    `freeze_base` zeroes the final updates for base-network params
+    (reference wrappers.py:50-57 grad_req='null')."""
     parts = []
     if weight_decay:
         if no_wd_bn:
@@ -69,6 +98,10 @@ def make_optimizer(
         else:
             parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.sgd(learning_rate=lr_fn, momentum=momentum))
+    if freeze_base:
+        # last in the chain: wd and momentum contributions are zeroed too,
+        # so frozen params never move
+        parts.append(optax.masked(optax.set_to_zero(), freeze_base_mask))
     return optax.chain(*parts)
 
 
