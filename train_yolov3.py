@@ -77,6 +77,12 @@ flags.DEFINE_boolean(
     "Run the train step eagerly instead of jit-compiled (debugging; the "
     "reference's no-hybridize escape hatch, train_yolov3.py:64-65).",
 )
+flags.DEFINE_boolean(
+    "host_color", False,
+    "Apply photometric augmentation + normalization on host instead of "
+    "on-device (debugging; default ships uint8 + per-image color matrices "
+    "and lets the TPU do the float color math).",
+)
 flags.DEFINE_boolean("mixup", False, "Enable mixup?")
 flags.DEFINE_integer("no_mixup_epochs", 20, "Disable mixup in the last N epochs.")
 flags.DEFINE_boolean("label_smooth", False, "Use label smoothing?")
@@ -248,10 +254,15 @@ def get_dataloaders(train_dataset, val_dataset):
         sizes = [FLAGS.data_shape]
     else:
         sizes = [320 + 32 * i for i in range(10)]  # x*32 for x in 10..19 (:265-271)
+    device_color = not FLAGS.host_color
     if k > 1:
-        tf = lambda w, h: YOLO3VideoTrainTransform(k, w, h, mixup=FLAGS.mixup)
+        tf = lambda w, h: YOLO3VideoTrainTransform(
+            k, w, h, mixup=FLAGS.mixup, device_color=device_color
+        )
     else:
-        tf = lambda w, h: YOLO3DefaultTrainTransform(w, h, mixup=FLAGS.mixup)
+        tf = lambda w, h: YOLO3DefaultTrainTransform(
+            w, h, mixup=FLAGS.mixup, device_color=device_color
+        )
     # combined class-tree training ships multi-hot ancestor labels
     multihot = (
         train_dataset.num_class
@@ -288,13 +299,18 @@ def get_dataloaders(train_dataset, val_dataset):
     return train_loader, val_loader
 
 
-def validate(model, state, val_loader, val_dataset, metric):
-    """Reference validate() (:434-490): eval step on device, metric on host."""
+def validate(model, state, val_loader, val_dataset, metric, eval_step=None):
+    """Reference validate() (:434-490): eval step on device, metric on host.
+
+    Pass a pre-jitted `eval_step` (train() builds it once per run): a fresh
+    jit closure per call would miss the jit cache and recompile the full
+    model at every validation epoch."""
     import jax
 
     from videoyolo_tpu.train.step import make_eval_step
 
-    eval_step = jax.jit(make_eval_step(model))
+    if eval_step is None:
+        eval_step = jax.jit(make_eval_step(model))
     metric.reset()
     for batch in val_loader:
         x = tuple(batch["features"]) if "features" in batch else batch["image"]
@@ -358,11 +374,19 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
     import jax.numpy as jnp
     from flax.core import FrozenDict
 
+    opt_state = tx.init(variables["params"])
+    if start_epoch > 0:
+        # resume: the schedule must continue from the global step, not
+        # replay warmup/decay from 0 (reference re-derives its scheduler,
+        # train_yolov3.py:507-514)
+        from videoyolo_tpu.train.step import fast_forward_schedule
+
+        opt_state = fast_forward_schedule(opt_state, start_epoch * steps_per_epoch)
     state = TrainState(
         step=jnp.asarray(start_epoch * steps_per_epoch, jnp.int32),
         params=variables["params"],
         batch_stats=variables.get("batch_stats", FrozenDict()),
-        opt_state=tx.init(variables["params"]),
+        opt_state=opt_state,
         tx=tx,
     )
 
@@ -377,6 +401,11 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
     )
     if not FLAGS.nd_only:
         train_step = jax.jit(train_step, donate_argnums=(0,))
+    # one jitted eval step per run — compiled at the first validation epoch,
+    # cache-hit thereafter (round-1 rebuilt the closure per validate() call)
+    from videoyolo_tpu.train.step import make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model))
 
     writer = None
     try:
@@ -422,7 +451,7 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
                 dev_batch = {
                     k: v
                     for k, v in batch.items()
-                    if k in ("image", "features", "gt_boxes", "gt_ids", "gt_mix")
+                    if k in ("image", "features", "gt_boxes", "gt_ids", "gt_mix", "color")
                 }
                 dev_batch = shard_batch(dev_batch, mesh)
                 state, metrics = train_step(state, dev_batch)
@@ -453,7 +482,9 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
 
         current_map = 0.0
         if val_loader is not None and FLAGS.val_interval and (epoch + 1) % FLAGS.val_interval == 0:
-            names, values = validate(model, state, val_loader, val_dataset, metric)
+            names, values = validate(
+                model, state, val_loader, val_dataset, metric, eval_step=eval_step
+            )
             logging.info(
                 "[Epoch %d] Validation: \n%s", epoch,
                 "\n".join(f"{n}={v}" for n, v in zip(names, values)),

@@ -81,8 +81,17 @@ class DetectionDataset:
     def __getitem__(self, idx: int):
         img = self._load_image(idx)
         label = self._load_label(idx)
+        return self._transformed(img, label, idx)
+
+    def _transformed(self, img, label, idx):
+        """Apply self._transform and build the sample tuple.  device_color
+        train transforms (data/transforms.py) emit (img, label, color_matrix)
+        triples — those pass through intact for the loader's collate."""
         if self._transform is not None:
-            img, label = self._transform(img, label)
+            out = self._transform(img, label)
+            if len(out) == 3 and not self._inference:
+                return out
+            img, label = out[0], out[1]
         if self._inference:
             return img, label, idx
         return img, label

@@ -70,6 +70,7 @@ class ImageNetVidDetection(DetectionDataset):
         if every != 1:
             self.samples = self._only_every(self.samples, int(every))
         self.sample_ids = sorted(self.samples.keys())
+        self._labels = {}  # (sample_id, frame_id) -> parsed rows, filled below
         for idx in range(len(self)):
             if self._videos:
                 frames = self.samples[self.sample_ids[idx]][2]
@@ -101,7 +102,7 @@ class ImageNetVidDetection(DetectionDataset):
         return len(self.sample_ids)
 
     def get_label(self, sid):
-        return self._load_label(self.sample_ids.index(sid))[:, :-1]
+        return self._label_for_sid(sid)[:, :-1]
 
     def get_sample_ids(self):
         if self._window_size > 1 and self._mult_out:
@@ -138,21 +139,15 @@ class ImageNetVidDetection(DetectionDataset):
                 img = read_image(self._image_path.format(*self.all_samples[sid]))
                 lbl = None
                 if self._mult_out:
-                    lbl = self._load_label(self.sample_ids.index(sid))[:, :-1]
+                    lbl = self._label_for_sid(sid)[:, :-1]
                 imgs.append(img)
                 lbls.append(lbl)
             img = np.stack(imgs)
             if self._mult_out:
                 label = lbls
-            if self._transform is not None:
-                img, label = self._transform(img, label)
         else:
             img = read_image(img_path)
-            if self._transform is not None:
-                img, label = self._transform(img, label)
-        if self._inference:
-            return img, label, idx
-        return img, label
+        return self._transformed(img, label, idx)
 
     def _get_features_sample(self, idx):
         """features_dir mode (imgnetvid.py:142-189)."""
@@ -198,10 +193,16 @@ class ImageNetVidDetection(DetectionDataset):
         vid, labels = [], []
         for frame_id in sample[2]:
             img_path = self._image_path.format(sample[0], sample[1], frame_id)
-            label = self._load_label(self.sample_ids.index(sample_id), frame_id=frame_id)
+            label = self._label_for_sid(sample_id, frame_id=frame_id)
             img = read_image(img_path)
             if self._transform is not None:
-                img, label = self._transform(img, label)
+                out = self._transform(img, label)
+                if len(out) == 3:
+                    raise NotImplementedError(
+                        "device_color train transforms are not supported in "
+                        "videos mode (per-frame matrices); pass --host_color"
+                    )
+                img, label = out
             labels.append(self._pad_to_dense(label, 20))
             vid.append(img)
         vid = np.stack(vid)
@@ -240,7 +241,7 @@ class ImageNetVidDetection(DetectionDataset):
             good_sample_ids, removed, n_boxes = [], 0, 0
             for sid in self.sample_ids:
                 n = len(
-                    [b for b in self._load_label(self.sample_ids.index(sid)) if b[4] >= 0]
+                    [b for b in self._label_for_sid(sid) if b[4] >= 0]
                 )
                 if n < 1:
                     removed += 1
@@ -315,7 +316,25 @@ class ImageNetVidDetection(DetectionDataset):
         return frames
 
     def _load_label(self, idx, frame_id=None):
-        sample_id = self.sample_ids[idx]
+        return self._label_for_sid(self.sample_ids[idx], frame_id)
+
+    def _label_for_sid(self, sample_id, frame_id=None):
+        """Label rows for a sample id, from the parse-once cache.
+
+        The reference re-parses the XML on every access and preloads only
+        VOC (pascalvoc.py:221-224); at VID scale (1.18M frames) that is a
+        real per-epoch tax, so the parse done by the __init__ warm-up loop
+        is kept in `self._labels` and every later access is a dict hit.
+        """
+        key = (sample_id, frame_id)
+        cached = self._labels.get(key)
+        if cached is not None:
+            return cached.copy()
+        label = self._parse_label(sample_id, frame_id)
+        self._labels[key] = label
+        return label.copy()
+
+    def _parse_label(self, sample_id, frame_id=None):
         sample = (self.all_samples or self.samples)[sample_id]
         if self._videos:
             assert frame_id is not None

@@ -1,26 +1,34 @@
-"""Input pipeline: threaded prefetch + fixed-shape batching + device transfer.
+"""Input pipeline: parallel prefetch + fixed-shape batching + device transfer.
 
 Capability parity with the reference's DataLoader usage
 (`/root/reference/train_yolov3.py:240-286`):
-  * multiprocess-worker prefetch -> thread-pool prefetch with a bounded
-    ready-batch queue (double buffering toward the device);
+  * multiprocess-worker prefetch -> thread-pool prefetch with a BOUNDED
+    in-flight window (at most num_workers + prefetch batches exist at any
+    moment, so host RAM stays O(prefetch) regardless of dataset size);
+    the heavy per-image work (JPEG decode, cv2 resize/warp) releases the
+    GIL, so threads scale with cores without process-pool pickling;
   * `batchify.Tuple(Stack, Pad(-1))` -> fixed-size -1 padding of labels
     (static shapes so jit never recompiles on box count);
-  * `RandomTransformDataLoader` random-shape-every-10-batches
-    (train_yolov3.py:265-271) -> `shape_sizes`/`shape_interval`: the loader
-    cycles data shapes from a fixed bucket set, so each bucket compiles once
-    and is cached thereafter (TPU-friendly multi-scale training);
+  * `RandomTransformDataLoader` picking a RANDOM transform every `interval`
+    batches (train_yolov3.py:265-271) -> `shape_sizes`/`shape_interval`:
+    a seeded random draw from the fixed bucket set every interval, so each
+    bucket compiles once and is cached (TPU-friendly multi-scale training);
+    non-shuffled (eval) loaders pin the first bucket;
   * `last_batch='discard'` semantics for the train loader.
+
+Workers never mutate the shared dataset: each batch runs against a shallow
+per-batch view carrying its own transform instance, so concurrent batches
+with different shape buckets are race-free.
 
 Batches are dicts of numpy arrays; `shard_batch` (parallel/mesh.py) moves
 them to the mesh with the batch axis sharded.
 """
 from __future__ import annotations
 
-import queue
-import threading
+import copy
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Dict, Iterator, Optional, Sequence
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -46,7 +54,14 @@ def collate_detection(
     `multihot=C` marks class-tree labels [l,t,r,b, c_0..c_{C-1}(,mix)]
     (combined.py:186-202): gt_ids becomes the (B, M, C) multi-hot block.
     mult_out samples carry a LIST of per-frame labels -> (B, T, M, D)."""
-    imgs = np.stack([s[0] for s in samples]).astype(np.float32)
+    has_color = (
+        len(samples[0]) > 2 and getattr(samples[0][2], "shape", None) == (3, 4)
+    )
+    imgs = np.stack([s[0] for s in samples])
+    if not has_color:
+        imgs = imgs.astype(np.float32)
+    # device_color batches stay uint8: 4x less host->device traffic, the
+    # color matrix normalizes on device (ops/color.py)
     if isinstance(samples[0][1], (list, tuple)):
         labels = np.stack(
             [pad_labels([np.atleast_2d(l) for l in s[1]], max_boxes) for s in samples]
@@ -61,7 +76,9 @@ def collate_detection(
     }
     if mixup:
         batch["gt_mix"] = labels[..., -1:]
-    if len(samples[0]) > 2:
+    if has_color:
+        batch["color"] = np.stack([s[2] for s in samples])
+    elif len(samples[0]) > 2:
         batch["idx"] = np.asarray([s[2] for s in samples], np.int64)
     return batch
 
@@ -87,11 +104,12 @@ def collate_features(samples, max_boxes: int = 56, mixup: bool = False) -> Dict[
 
 
 class DetectionLoader:
-    """Iterable over fixed-shape batches with background prefetch.
+    """Iterable over fixed-shape batches with bounded background prefetch.
 
-    transform_factory: (width, height) -> transform, installed on the dataset
-    per shape bucket (the dataset must accept `._transform` assignment, which
-    all DetectionDataset subclasses do).
+    transform_factory: (width, height) -> transform.  Each interval group of
+    batches gets a fresh transform instance, applied through a shallow
+    per-batch dataset view (`copy.copy` + `_transform` override) — the shared
+    dataset object is never mutated.
     """
 
     def __init__(
@@ -123,12 +141,12 @@ class DetectionLoader:
         self._last_batch = last_batch
         self._max_boxes = max_boxes
         self._num_workers = max(1, num_workers)
-        self._prefetch = prefetch
+        self._prefetch = max(1, prefetch)
         self._mixup = mixup
         self._rng = np.random.RandomState(seed)
         self._transform_factory = transform_factory
         self._shape_sizes = list(shape_sizes) if shape_sizes else None
-        self._shape_interval = shape_interval
+        self._shape_interval = max(1, shape_interval)
         self._collate = collate or (
             lambda samples: collate_detection(
                 samples, self._max_boxes, self._mixup, multihot
@@ -159,55 +177,65 @@ class DetectionLoader:
             batches.append(chunk)
         return batches
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        batches = self._batch_indices()
-        out_q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
-        sentinel = object()
+    def _plan(self) -> List[Tuple[np.ndarray, Optional[Callable]]]:
+        """One epoch's (index_chunk, transform) pairs.
 
-        def make_batch(bi, chunk):
-            if self._native_hw is not None:
-                from .. import native
-
-                h, w = self._native_hw
-                paths = [self._dataset.sample_path(int(j)) for j in chunk]
-                imgs, _ = native.load_batch(paths, h, w)
-                return {
-                    "image": imgs,
-                    "idx": np.asarray([int(j) for j in chunk], np.int64),
-                }
+        A random bucket is drawn every `shape_interval` batches
+        (RandomTransformDataLoader semantics, reference
+        train_yolov3.py:265-271); eval/non-shuffle loaders pin bucket 0.
+        """
+        plan = []
+        tf = None
+        for bi, chunk in enumerate(self._batch_indices()):
             if self._transform_factory is not None and self._shape_sizes:
-                size = self._shape_sizes[
-                    (bi // self._shape_interval) % len(self._shape_sizes)
-                ] if self._shuffle else self._shape_sizes[0]
-                # a fresh transform per bucket keeps datasets stateless
-                self._dataset._transform = self._transform_factory(size, size)
-            samples = [self._dataset[int(j)] for j in chunk]
-            return self._collate(samples)
+                if tf is None or bi % self._shape_interval == 0:
+                    if self._shuffle and len(self._shape_sizes) > 1:
+                        size = int(self._rng.choice(self._shape_sizes))
+                    else:
+                        size = int(self._shape_sizes[0])
+                    tf = self._transform_factory(size, size)
+            plan.append((chunk, tf))
+        return plan
 
-        def producer():
-            try:
-                if self._num_workers > 1 and self._shape_sizes is None:
-                    with ThreadPoolExecutor(self._num_workers) as pool:
-                        futures = [
-                            pool.submit(make_batch, bi, chunk)
-                            for bi, chunk in enumerate(batches)
-                        ]
-                        for f in futures:
-                            out_q.put(f.result())
-                else:
-                    for bi, chunk in enumerate(batches):
-                        out_q.put(make_batch(bi, chunk))
-            except Exception as e:  # surfaced by consumer
-                out_q.put(e)
-            finally:
-                out_q.put(sentinel)
+    def _make_batch(self, chunk, transform):
+        if self._native_hw is not None:
+            from .. import native
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+            h, w = self._native_hw
+            paths = [self._dataset.sample_path(int(j)) for j in chunk]
+            imgs, _ = native.load_batch(paths, h, w)
+            return {
+                "image": imgs,
+                "idx": np.asarray([int(j) for j in chunk], np.int64),
+            }
+        ds = self._dataset
+        if transform is not None:
+            # shallow per-batch view: heavy state (label caches, index maps)
+            # is shared, only the transform slot differs
+            ds = copy.copy(ds)
+            ds._transform = transform
+        samples = [ds[int(j)] for j in chunk]
+        return self._collate(samples)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        plan = iter(self._plan())
+        if self._num_workers <= 1:
+            for chunk, tf in plan:
+                yield self._make_batch(chunk, tf)
+            return
+        # Bounded in-flight window, results yielded in submission order.
+        # Unlike submitting the whole epoch eagerly, completed-but-unconsumed
+        # batches can never exceed the window, so host memory stays bounded.
+        max_inflight = self._num_workers + self._prefetch
+        with ThreadPoolExecutor(self._num_workers) as pool:
+            inflight: deque = deque()
+            for item in plan:
+                inflight.append(pool.submit(self._make_batch, *item))
+                if len(inflight) >= max_inflight:
+                    break
+            while inflight:
+                batch = inflight.popleft().result()  # re-raises worker errors
+                nxt = next(plan, None)
+                if nxt is not None:
+                    inflight.append(pool.submit(self._make_batch, *nxt))
+                yield batch

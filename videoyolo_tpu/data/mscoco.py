@@ -139,11 +139,7 @@ class COCODetection(DetectionDataset):
     def __getitem__(self, idx):
         img = self._load_image(idx)
         label = self._load_label(idx)
-        if self._transform is not None:
-            img, label = self._transform(img, label)
-        if self._inference:
-            return img, label, idx
-        return img, label
+        return self._transformed(img, label, idx)
 
     def stats(self):
         cls_boxes = []

@@ -95,11 +95,7 @@ class VOCDetection(DetectionDataset):
             if self._inference:
                 return (img, *feats, label, idx)
             return (img, *feats, label)
-        if self._transform is not None:
-            img, label = self._transform(img, label)
-        if self._inference:
-            return img, label, idx
-        return img, label
+        return self._transformed(img, label, idx)
 
     def _load_label(self, idx):
         sample_id = self.sample_ids[idx]

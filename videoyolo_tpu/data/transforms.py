@@ -141,45 +141,57 @@ def random_crop_with_constraints(
     constraints=None,
     max_trial: int = 50,
 ):
-    """SSD-style min-IoU constrained random crop (bbox.py:13-128)."""
+    """SSD-style min-IoU constrained random crop (bbox.py:13-128).
+
+    The reference samples up to `max_trial` crops per constraint one at a
+    time in a Python loop (~300 tiny numpy calls per image); here each
+    constraint's trials are drawn as one vectorised batch and checked with a
+    single IoU matrix — same distribution (the first satisfying trial in
+    draw order wins), ~10x less host time per image.
+    """
     if constraints is None:
         constraints = ((0.1, None), (0.3, None), (0.5, None), (0.7, None), (0.9, None), (None, 1))
     w, h = size
     boxes_list, single = _listify(bboxs)
+    all_boxes = np.concatenate(
+        [b[:, :4] for b in boxes_list if len(b)], axis=0
+    ) if any(len(b) for b in boxes_list) else np.zeros((0, 4))
 
     candidates = [(0, 0, w, h)]
     for min_iou, max_iou in constraints:
         min_iou = -np.inf if min_iou is None else min_iou
         max_iou = np.inf if max_iou is None else max_iou
-        for _ in range(max_trial):
-            scale = random.uniform(min_scale, max_scale)
-            aspect_ratio = random.uniform(
-                max(1 / max_aspect_ratio, scale * scale),
-                min(max_aspect_ratio, 1 / (scale * scale)),
-            )
-            crop_h = int(h * scale / np.sqrt(aspect_ratio))
-            crop_w = int(w * scale * np.sqrt(aspect_ratio))
-            if h - crop_h <= 0 or w - crop_w <= 0:
-                continue
-            crop_t = random.randrange(h - crop_h)
-            crop_l = random.randrange(w - crop_w)
-            crop_bb = np.array((crop_l, crop_t, crop_l + crop_w, crop_t + crop_h))
+        scale = np.random.uniform(min_scale, max_scale, max_trial)
+        aspect_ratio = np.random.uniform(
+            np.maximum(1 / max_aspect_ratio, scale * scale),
+            np.minimum(max_aspect_ratio, 1 / (scale * scale)),
+        )
+        crop_h = (h * scale / np.sqrt(aspect_ratio)).astype(np.int64)
+        crop_w = (w * scale * np.sqrt(aspect_ratio)).astype(np.int64)
+        geom_ok = (crop_h < h) & (crop_w < w) & (crop_h > 0) & (crop_w > 0)
+        # random.randrange(n) equivalent, guarded for invalid trials
+        span_h = np.maximum(h - crop_h, 1)
+        span_w = np.maximum(w - crop_w, 1)
+        crop_t = (np.random.uniform(0, 1, max_trial) * span_h).astype(np.int64)
+        crop_l = (np.random.uniform(0, 1, max_trial) * span_w).astype(np.int64)
 
-            if all(len(bbox) == 0 for bbox in boxes_list):
+        if len(all_boxes) == 0:
+            if geom_ok.any():
+                i = int(np.argmax(geom_ok))
                 out = boxes_list[0] if single else boxes_list
-                return out, (crop_l, crop_t, crop_w, crop_h)
+                return out, (int(crop_l[i]), int(crop_t[i]), int(crop_w[i]), int(crop_h[i]))
+            continue
 
-            ok = True
-            for bbox in boxes_list:
-                if len(bbox) == 0:
-                    continue
-                iou = np_bbox_iou(bbox[:, :4], crop_bb[np.newaxis])
-                if min_iou > iou.min() or iou.max() > max_iou:
-                    ok = False
-                    break
-            if ok:
-                candidates.append((crop_l, crop_t, crop_w, crop_h))
-                break
+        crop_bb = np.stack(
+            [crop_l, crop_t, crop_l + crop_w, crop_t + crop_h], axis=1
+        ).astype(np.float64)
+        iou = np_bbox_iou(all_boxes, crop_bb)  # (N, T)
+        ok = geom_ok & (iou.min(axis=0) >= min_iou) & (iou.max(axis=0) <= max_iou)
+        if ok.any():
+            i = int(np.argmax(ok))
+            candidates.append(
+                (int(crop_l[i]), int(crop_t[i]), int(crop_w[i]), int(crop_h[i]))
+            )
 
     while candidates:
         crop_b = candidates.pop(np.random.randint(0, len(candidates)))
@@ -286,41 +298,193 @@ def to_normalized(img: np.ndarray, mean=MEAN, std=STD) -> np.ndarray:
     return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
+_YIQ = np.array(
+    [[0.299, 0.587, 0.114], [0.596, -0.274, -0.321], [0.211, -0.523, 0.311]]
+)
+_YIQ_INV = np.array(
+    [[1.0, 0.956, 0.621], [1.0, -0.272, -0.647], [1.0, -1.107, 1.705]]
+)
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def sample_color_matrix(
+    brightness_delta: int = 32,
+    contrast_low: float = 0.5,
+    contrast_high: float = 1.5,
+    saturation_low: float = 0.5,
+    saturation_high: float = 1.5,
+    hue_delta: int = 18,
+    mean=MEAN,
+    std=STD,
+) -> np.ndarray:
+    """Sample the reference's photometric distortion (video.py:68-158) AS ONE
+    affine color map, composed with input normalization: a (3, 4) matrix M
+    with  out = M[:, :3] @ rgb + M[:, 3]  on [0,255] pixels.
+
+    Every step of `random_color_distort` (brightness add, contrast scale,
+    saturation = alpha*x + (1-alpha)*luma(x), YIQ hue rotation) is an affine
+    map on RGB, and normalization is affine too — so the whole pipeline
+    composes exactly into one matrix.  Because affine color maps commute with
+    linear resampling (bilinear/cubic/area weights sum to 1), applying M
+    AFTER crop/resize/flip — on device, inside the jitted train step — is
+    mathematically identical to the reference's distort-first ordering
+    (fill pixels from random-expand aside, which get distorted here but not
+    in the reference).  Shipping uint8 pixels + M quarters host->device
+    traffic and moves the float math onto the TPU.
+    """
+    A = np.eye(3)
+    b = np.zeros(3)
+
+    def compose(A2, b2):
+        nonlocal A, b
+        A = A2 @ A
+        b = A2 @ b + b2
+
+    def brightness():
+        if np.random.uniform() > 0.5:
+            compose(np.eye(3), np.full(3, np.random.uniform(-brightness_delta, brightness_delta)))
+
+    def contrast():
+        if np.random.uniform() > 0.5:
+            compose(np.eye(3) * np.random.uniform(contrast_low, contrast_high), np.zeros(3))
+
+    def saturation():
+        if np.random.uniform() > 0.5:
+            alpha = np.random.uniform(saturation_low, saturation_high)
+            compose(alpha * np.eye(3) + (1.0 - alpha) * np.outer(np.ones(3), _LUMA), np.zeros(3))
+
+    def hue():
+        if np.random.uniform() > 0.5:
+            alpha = random.uniform(-hue_delta, hue_delta)
+            u, w_ = np.cos(alpha * np.pi), np.sin(alpha * np.pi)
+            bt = np.array([[1.0, 0.0, 0.0], [0.0, u, -w_], [0.0, w_, u]])
+            compose(_YIQ_INV @ bt @ _YIQ, np.zeros(3))
+
+    brightness()
+    if np.random.randint(0, 2):
+        contrast()
+        saturation()
+        hue()
+    else:
+        saturation()
+        hue()
+        contrast()
+    # normalize: (x/255 - mean)/std
+    compose(np.diag(1.0 / (255.0 * np.asarray(std))), -np.asarray(mean) / np.asarray(std))
+    return np.concatenate([A, b[:, None]], axis=1).astype(np.float32)
+
+
+def apply_color_np(img: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Apply a (3,4) color matrix to HWC/KHWC [0,255] pixels (host path)."""
+    flat = img.reshape(-1, 3).astype(np.float32)
+    out = flat @ mat[:, :3].T + mat[:, 3]
+    return out.reshape(img.shape).astype(np.float32)
+
+
+def crop_resize_pad(
+    img: np.ndarray,
+    rect: Tuple[int, int, int, int],
+    out_w: int,
+    out_h: int,
+    interp: int,
+    fill,
+) -> np.ndarray:
+    """Resize crop-window `rect` of `img` to (out_h, out_w), fill-padding the
+    part of the window outside the image.
+
+    `rect` = (x0, y0, w, h) in IMAGE coordinates and may extend beyond the
+    image (that's how random-expand composes with the crop without ever
+    materialising the up-to-16x expanded canvas the reference allocates:
+    only the image∩window region is resized and pasted onto a fill canvas).
+    """
+    x0, y0, cw, ch = rect
+    h, w = img.shape[:2]
+    out = np.empty((out_h, out_w, 3), img.dtype)
+    out[:] = np.asarray(fill, img.dtype)
+    sx0, sy0 = max(x0, 0), max(y0, 0)
+    sx1, sy1 = min(x0 + cw, w), min(y0 + ch, h)
+    if sx1 <= sx0 or sy1 <= sy0:
+        return out
+    scale_x, scale_y = out_w / cw, out_h / ch
+    dx0 = int(round((sx0 - x0) * scale_x))
+    dy0 = int(round((sy0 - y0) * scale_y))
+    dx1 = min(out_w, int(round((sx1 - x0) * scale_x)))
+    dy1 = min(out_h, int(round((sy1 - y0) * scale_y)))
+    if dx1 <= dx0 or dy1 <= dy0:
+        return out
+    sub = cv2.resize(
+        img[sy0:sy1, sx0:sx1],
+        (dx1 - dx0, dy1 - dy0),
+        interpolation=_INTERPS[interp],
+    )
+    out[dy0:dy1, dx0:dx1] = sub
+    return out
+
+
 # --------------------------------------------------------------------------
 # YOLO3 pipelines (yolo/transforms.py)
 # --------------------------------------------------------------------------
 
+def _sample_train_geometry(label, w, h, max_expand_ratio: float = 4.0):
+    """Expand (p=.5) + constrained crop + flip, labels-only.
+
+    Returns (bbox, rect, flip) where `rect` is the crop window in ORIGINAL
+    image coordinates (may extend beyond the image — those parts are
+    expand-fill).  No pixel is touched: the expanded canvas the reference
+    materialises (video.py:12-65) exists only as coordinate offsets here.
+    """
+    if np.random.uniform() > 0.5:
+        ratio = random.uniform(1, max_expand_ratio)
+        ow, oh = int(w * ratio), int(h * ratio)
+        off_x = random.randint(0, ow - w)
+        off_y = random.randint(0, oh - h)
+        bbox = bbox_translate(label, x_offset=off_x, y_offset=off_y)
+    else:
+        off_x = off_y = 0
+        ow, oh = w, h
+        bbox = [b.copy() for b in label] if isinstance(label, list) else label.copy()
+    bbox, crop = random_crop_with_constraints(bbox, (ow, oh))
+    x0, y0, cw, ch = [int(c) for c in crop]
+    rect = (x0 - off_x, y0 - off_y, cw, ch)
+    return bbox, rect, np.random.uniform() > 0.5
+
+
 class YOLO3DefaultTrainTransform:
     """Color distort -> random expand (p=.5) -> constrained crop -> resize
-    (random interp) -> random flip -> normalize (transforms.py:60-107)."""
+    (random interp) -> random flip -> normalize (transforms.py:60-107).
 
-    def __init__(self, width, height, mean=MEAN, std=STD, mixup=False):
+    Rebuilt as: geometry first (fused expand+crop+resize via crop_resize_pad,
+    no canvas allocation), then the photometric distortion + normalization as
+    one affine color matrix (see sample_color_matrix — exact because color
+    maps commute with linear resampling).  `device_color=True` returns
+    (uint8 img, bbox, (3,4) matrix) and leaves the float color math to the
+    jitted train step on the TPU; False applies the matrix on host.
+    """
+
+    def __init__(self, width, height, mean=MEAN, std=STD, mixup=False,
+                 device_color: bool = False):
         self._width = width
         self._height = height
         self._mean = mean
         self._std = std
         self._mixup = mixup
+        self._device_color = device_color
 
     def __call__(self, src, label):
-        img = random_color_distort(src)
-        if np.random.uniform() > 0.5:
-            img, expand = random_expand(img, fill=[m * 255 for m in self._mean])
-            bbox = bbox_translate(label, x_offset=expand[0], y_offset=expand[1])
-        else:
-            img, bbox = img, label.copy()
-        h, w, _ = img.shape
-        bbox, crop = random_crop_with_constraints(bbox, (w, h))
-        x0, y0, cw, ch = [int(c) for c in crop]
-        img = img[y0 : y0 + ch, x0 : x0 + cw]
-        h, w, _ = img.shape
+        h, w, _ = src.shape
+        bbox, rect, flip = _sample_train_geometry(label, w, h)
         interp = np.random.randint(0, 5)
-        img = imresize(img, self._width, self._height, interp=interp)
-        bbox = bbox_resize(bbox, (w, h), (self._width, self._height))
-        if np.random.uniform() > 0.5:
+        fill = [m * 255 for m in self._mean]
+        img = crop_resize_pad(src, rect, self._width, self._height, interp, fill)
+        bbox = bbox_resize(bbox, (rect[2], rect[3]), (self._width, self._height))
+        if flip:
             img = img[:, ::-1, :]
             bbox = bbox_flip(bbox, (self._width, self._height), flip_x=True)
-        img = to_normalized(np.ascontiguousarray(img), self._mean, self._std)
-        return img, bbox.astype(np.float32)
+        img = np.ascontiguousarray(img)
+        mat = sample_color_matrix(mean=self._mean, std=self._std)
+        if self._device_color:
+            return img, bbox.astype(np.float32), mat
+        return apply_color_np(img, mat), bbox.astype(np.float32)
 
 
 class YOLO3DefaultInferenceTransform:
@@ -347,36 +511,37 @@ class YOLO3VideoTrainTransform:
     all k frames (transforms.py:143-294).  src: (K,H,W,C); label: (N,4+) for
     the key frame or list of per-frame labels when `mult_out`."""
 
-    def __init__(self, k, width, height, mean=MEAN, std=STD, mixup=False):
+    def __init__(self, k, width, height, mean=MEAN, std=STD, mixup=False,
+                 device_color: bool = False):
         self._k = k
         self._width = width
         self._height = height
         self._mean = mean
         self._std = std
         self._mixup = mixup
+        self._device_color = device_color
 
     def __call__(self, src, label):
-        imgs = random_color_distort(src)
-        if np.random.uniform() > 0.5:
-            imgs, expand = random_expand(imgs, fill=[m * 255 for m in self._mean])
-            bbox = bbox_translate(label, x_offset=expand[0], y_offset=expand[1])
-        else:
-            imgs, bbox = imgs, label
-        k, h, w, _ = imgs.shape
-        bbox, crop = random_crop_with_constraints(bbox, (w, h))
-        x0, y0, cw, ch = [int(c) for c in crop]
-        imgs = imgs[:, y0 : y0 + ch, x0 : x0 + cw]
-        k, h, w, _ = imgs.shape
+        k, h, w, _ = src.shape
+        bbox, rect, flip = _sample_train_geometry(label, w, h)
         interp = np.random.randint(0, 5)
-        imgs = np.stack([imresize(f, self._width, self._height, interp=interp) for f in imgs])
-        bbox = bbox_resize(bbox, (w, h), (self._width, self._height))
-        if np.random.uniform() > 0.5:
+        fill = [m * 255 for m in self._mean]
+        imgs = np.stack(
+            [crop_resize_pad(f, rect, self._width, self._height, interp, fill) for f in src]
+        )
+        bbox = bbox_resize(bbox, (rect[2], rect[3]), (self._width, self._height))
+        if flip:
             imgs = imgs[:, :, ::-1, :]
             bbox = bbox_flip(bbox, (self._width, self._height), flip_x=True)
-        imgs = to_normalized(np.ascontiguousarray(imgs), self._mean, self._std)
+        imgs = np.ascontiguousarray(imgs)
+        mat = sample_color_matrix(mean=self._mean, std=self._std)
         if isinstance(bbox, list):
-            return imgs, [b.astype(np.float32) for b in bbox]
-        return imgs, bbox.astype(np.float32)
+            bbox = [b.astype(np.float32) for b in bbox]
+        else:
+            bbox = bbox.astype(np.float32)
+        if self._device_color:
+            return imgs, bbox, mat
+        return apply_color_np(imgs, mat), bbox
 
 
 class YOLO3VideoInferenceTransform:
@@ -444,6 +609,10 @@ class MixupDetection:
         self._alpha = mixup_alpha
         self._beta = mixup_beta
         self._enabled = True
+        # applied AFTER mixing (gluoncv mixes raw pairs, then the train
+        # transform augments the mixed image); set by the loader's per-batch
+        # view, never on the wrapped dataset
+        self._transform = None
 
     def set_mixup(self, enabled: bool):
         # reference disables mixup for the final no_mixup_epochs (train_yolov3.py:574-580)
@@ -453,9 +622,23 @@ class MixupDetection:
         return len(self._dataset)
 
     def __getattr__(self, item):
-        return getattr(self._dataset, item)
+        # no dunder delegation (copy/pickle probe __getstate__ etc. on a
+        # half-built instance where _dataset isn't set yet)
+        if item.startswith("__"):
+            raise AttributeError(item)
+        try:
+            ds = object.__getattribute__(self, "_dataset")
+        except AttributeError:
+            raise AttributeError(item) from None
+        return getattr(ds, item)
 
     def __getitem__(self, idx):
+        img, label = self._mix(idx)
+        if self._transform is not None:
+            return self._transform(img, label)  # may be (img, label, color)
+        return img, label
+
+    def _mix(self, idx):
         img1, label1 = self._dataset[idx][:2]
         label1 = np.hstack((label1, np.full((label1.shape[0], 1), 1.0, label1.dtype)))
         if not self._enabled:

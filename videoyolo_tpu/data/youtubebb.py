@@ -156,11 +156,7 @@ class YouTubeBBDetection(DetectionDataset):
             img = np.stack(imgs)
         else:
             img = read_image(self.sample_path(idx))
-        if self._transform is not None:
-            img, label = self._transform(img, label)
-        if self._inference:
-            return img, label, idx
-        return img, label
+        return self._transformed(img, label, idx)
 
     # --- annotation loading (youtubebb.py:384-487) --------------------------
     def _load_items(self, splits):

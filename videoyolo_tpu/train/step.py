@@ -26,6 +26,7 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
+from ..ops.color import apply_color
 from ..ops.losses import yolo3_loss
 from ..ops.targets import merge_targets, prefetch_targets
 from ..models.yolo3 import postprocess
@@ -36,6 +37,7 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "freeze_base_mask",
+    "fast_forward_schedule",
 ]
 
 # Top-level flax scopes holding the base (backbone) network across the model
@@ -105,6 +107,25 @@ def make_optimizer(
     return optax.chain(*parts)
 
 
+def fast_forward_schedule(opt_state, step: int):
+    """Set every schedule counter in an optax state to `step`.
+
+    On resume the reference re-derives its LR scheduler from the global step
+    (train_yolov3.py:507-514); a freshly tx.init()ed optax state would
+    instead replay warmup/decay from 0 while the log reports the offset LR.
+    """
+    step = jnp.asarray(step, jnp.int32)
+
+    def fwd(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=step)
+        return s
+
+    return jax.tree_util.tree_map(
+        fwd, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState)
+    )
+
+
 def create_train_state(model, variables, lr_fn, momentum=0.9, weight_decay=5e-4):
     tx = make_optimizer(lr_fn, momentum, weight_decay)
     params = variables["params"]
@@ -151,6 +172,10 @@ def make_train_step(
             hw = input_hw or (x[0].shape[-3] * 8, x[0].shape[-2] * 8)
         else:
             x = batch["image"]
+            if "color" in batch:
+                # uint8 pixels + per-image affine color map (augmentation +
+                # normalization) applied on device — see ops/color.py
+                x = apply_color(x, batch["color"])
             hw = input_hw or tuple(x.shape[-3:-1])
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
