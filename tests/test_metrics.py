@@ -56,7 +56,7 @@ def test_duplicate_detection_is_fp():
     _update_single(m, preds, gts)
     _, values = m.get()
     np.testing.assert_allclose(values[0], 1.0)  # dup is FP after R=1 -> AP unaffected
-    assert m._match[0] == [1, 0]
+    np.testing.assert_array_equal(np.concatenate(m._match[0]), [1, 0])
 
 
 def test_difficult_gt_ignored():
@@ -67,7 +67,7 @@ def test_difficult_gt_ignored():
     _, values = m.get()
     # matched to a difficult gt: match=-1, n_pos=0 -> AP nan
     assert np.isnan(values[0])
-    assert m._match[0] == [-1]
+    np.testing.assert_array_equal(np.concatenate(m._match[0]), [-1])
 
 
 def test_low_iou_is_fp():
@@ -120,6 +120,49 @@ def test_temporal_metric():
     names, values = m.get()
     assert any(n.startswith("t0:") for n in names)
     assert any(n.startswith("t1:") for n in names)
+
+
+def _oracle_match(pred_boxes, pred_scores, gt_boxes, gt_difficult, thresh):
+    """Sequential VOC greedy matcher (protocol as published; used only as a
+    test oracle for the vectorised _match_class)."""
+    from videoyolo_tpu.ops.bbox import np_bbox_iou
+
+    order = np.argsort(-pred_scores, kind="stable")
+    out = []
+    selec = np.zeros(len(gt_boxes), bool)
+    for i in order:
+        if len(gt_boxes) == 0:
+            out.append(0)
+            continue
+        iou = np_bbox_iou(pred_boxes[i : i + 1], gt_boxes)[0]
+        j = int(iou.argmax())
+        if iou[j] < thresh:
+            out.append(0)
+            continue
+        if gt_difficult[j]:
+            out.append(-1)
+        else:
+            out.append(1 if not selec[j] else 0)
+        selec[j] = True
+    return np.asarray(out, np.int8)
+
+
+def test_vectorised_match_equals_sequential_oracle():
+    from videoyolo_tpu.metrics.pascalvoc import _match_class
+
+    rs = np.random.RandomState(7)
+    for trial in range(200):
+        n, m = rs.randint(0, 8), rs.randint(0, 5)
+        pb = rs.uniform(0, 80, (n, 2))
+        pred_boxes = np.concatenate([pb, pb + rs.uniform(5, 40, (n, 2))], axis=1)
+        gb = rs.uniform(0, 80, (m, 2))
+        gt_boxes = np.concatenate([gb, gb + rs.uniform(5, 40, (m, 2))], axis=1)
+        scores = rs.uniform(0, 1, n)
+        difficult = rs.randint(0, 2, m).astype(float)
+        got_scores, got = _match_class(pred_boxes, scores, gt_boxes, difficult, 0.35)
+        want = _oracle_match(pred_boxes, scores, gt_boxes, difficult, 0.35)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got_scores, np.sort(scores)[::-1])
 
 
 def test_update_without_difficults_multiple_gts():

@@ -1,14 +1,21 @@
 """Pascal VOC mAP metrics.
 
-Capability parity with `/root/reference/metrics/pascalvoc.py`:
-  * `VOCMApMetric` (:12) — streaming per-class score/match buffers, greedy
-    IoU matching with difficult handling, integrated AP, cross-dataset
-    `class_map` remapping (:71-81,:126-127);
+Capability parity with `/root/reference/metrics/pascalvoc.py` (which itself
+implements the published VOC evaluation protocol via gluoncv/chainercv):
+  * `VOCMApMetric` (:12) — streaming per-class buffers, greedy IoU matching
+    with difficult handling, integrated AP, cross-dataset `class_map`
+    remapping (:71-81,:126-127);
   * `VOC07MApMetric` (:523) — 11-point interpolated AP;
   * `VOCMApMetricTemporal` (:262) — a metric per temporal offset t.
 
 Protocol: reset() / update(preds, gts) / get() -> (names, values), fed with
 numpy arrays (post-NMS device outputs brought to host).
+
+Implementation is this repo's own: the per-prediction greedy claim loop is a
+single vectorised first-occurrence pass (`_match_class`), buffers accumulate
+array chunks instead of per-row appends, and AP integration uses a reversed
+running max.  Numeric behavior is locked to the VOC protocol by the golden
+tests in tests/test_metrics.py.
 """
 from __future__ import annotations
 
@@ -30,6 +37,46 @@ def _as_numpy(x):
     return np.asarray(x)
 
 
+def _match_class(pred_boxes, pred_scores, gt_boxes, gt_difficult, iou_thresh):
+    """Greedy VOC matching for one class of one image, vectorised.
+
+    Predictions are processed in descending score order; each is assigned
+    its max-IoU ground truth when IoU >= thresh.  Match codes per the VOC
+    protocol:  1 = first claim of a non-difficult gt (TP), 0 = no gt / low
+    IoU / gt already claimed (FP), -1 = assigned to a difficult gt (ignored).
+
+    Returns (scores_sorted, match_codes) aligned arrays.
+    """
+    order = np.argsort(-pred_scores, kind="stable")
+    boxes = pred_boxes[order]
+    scores = pred_scores[order]
+    n = len(boxes)
+    if n == 0:
+        return scores, np.zeros(0, np.int8)
+    match = np.zeros(n, np.int8)
+    if len(gt_boxes) == 0:
+        return scores, match
+
+    iou = np_bbox_iou(boxes, gt_boxes)
+    gt_idx = iou.argmax(axis=1)
+    assigned = iou[np.arange(n), gt_idx] >= iou_thresh
+
+    # every claim of a difficult gt is ignored, first or not (difficulty is
+    # a property of the gt, so order within that gt never matters)
+    difficult = assigned & (gt_difficult[gt_idx] != 0)
+    match[difficult] = -1
+
+    # among the rest, the highest-scored claim of each gt is the TP; later
+    # claims of the same gt are FPs.  The array is already in score order,
+    # so np.unique's return_index IS the first-claim index per gt.
+    masked_idx = np.where(assigned, gt_idx, -1)
+    uniq, first = np.unique(masked_idx, return_index=True)
+    wins = np.zeros(n, bool)
+    wins[first[uniq >= 0]] = True
+    match[wins & assigned & ~difficult] = 1
+    return scores, match
+
+
 class VOCMApMetric:
     """Mean AP for detection with VOC-style greedy matching."""
 
@@ -46,167 +93,101 @@ class VOCMApMetric:
             self.num = len(self.class_names) + 1
         self.reset()
 
-    def reset(self):
-        if self.num is None:
-            self.num_inst = 0
-            self.sum_metric = 0.0
-        else:
-            self.num_inst = [0] * self.num
-            self.sum_metric = [0.0] * self.num
-        self._n_pos = defaultdict(int)
-        self._score = defaultdict(list)
-        self._match = defaultdict(list)
+    # --- streaming state ------------------------------------------------
 
-    def get(self):
-        self._update()
-        if self.num is None:
-            if self.num_inst == 0:
-                return (self.name, float("nan"))
-            return (self.name, self.sum_metric / self.num_inst)
-        names = [str(self.name[i]) for i in range(self.num)]
-        values = [
-            x / y if y != 0 else float("nan")
-            for x, y in zip(self.sum_metric, self.num_inst)
-        ]
-        if self.class_map:
-            values = []
-            for i in range(self.num):
-                if i == self.num - 1:  # mAP row
-                    values.append(
-                        self.sum_metric[i] / self.num_inst[i] if self.num_inst[i] else float("nan")
-                    )
-                elif self.class_map[i] < 0:
-                    values.append(float("nan"))
-                else:
-                    j = self.class_map[i]
-                    values.append(
-                        self.sum_metric[j] / self.num_inst[j] if self.num_inst[j] else float("nan")
-                    )
-        return names, values
+    def reset(self):
+        self._n_pos = defaultdict(int)
+        self._score = defaultdict(list)  # per-class list of array chunks
+        self._match = defaultdict(list)
 
     def update(self, pred_bboxes, pred_labels, pred_scores,
                gt_bboxes, gt_labels, gt_difficults=None, **kwargs):
         """All args (B, N, ...) arrays or lists of per-image arrays; -1 rows
-        are padding (reference pascalvoc.py:85-184)."""
+        are padding.  Protocol surface of reference pascalvoc.py:85-184."""
         if gt_difficults is None:
             gt_difficults = [None] * len(_as_numpy(gt_labels))
 
-        for pred_bbox, pred_label, pred_score, gt_bbox, gt_label, gt_difficult in zip(
-            *[_as_numpy(x) for x in
-              [pred_bboxes, pred_labels, pred_scores, gt_bboxes, gt_labels, gt_difficults]]
-        ):
-            valid_pred = np.where(pred_label.flat >= 0)[0]
-            pred_bbox = pred_bbox[valid_pred, :]
-            pred_label = pred_label.flat[valid_pred].astype(int)
-            pred_score = pred_score.flat[valid_pred]
+        args = [_as_numpy(x) for x in
+                (pred_bboxes, pred_labels, pred_scores, gt_bboxes, gt_labels, gt_difficults)]
+        for p_box, p_lab, p_sc, g_box, g_lab, g_dif in zip(*args):
+            keep = np.flatnonzero(p_lab.reshape(-1) >= 0)
+            p_box = p_box.reshape(-1, p_box.shape[-1])[keep]
+            p_lab = p_lab.reshape(-1)[keep].astype(int)
+            p_sc = p_sc.reshape(-1)[keep]
 
+            g_lab = g_lab.reshape(-1)
             if self.class_map is not None:
-                gt_label = np.expand_dims(
-                    np.array([self.class_map[int(l)] for l in gt_label.flat]), axis=0
+                cmap = np.asarray(self.class_map)
+                g_lab = np.where(g_lab >= 0, cmap[g_lab.astype(int)], g_lab)
+            keep = np.flatnonzero(g_lab >= 0)
+            g_box = g_box.reshape(-1, g_box.shape[-1])[keep]
+            g_lab = g_lab[keep].astype(int)
+            g_dif = (
+                np.zeros(len(keep)) if g_dif is None else g_dif.reshape(-1)[keep]
+            )
+
+            for cls in np.unique(np.concatenate([p_lab, g_lab])):
+                pm, gm = p_lab == cls, g_lab == cls
+                self._n_pos[cls] += int((g_dif[gm] == 0).sum())
+                scores, codes = _match_class(
+                    p_box[pm], p_sc[pm], g_box[gm], g_dif[gm], self.iou_thresh
                 )
-            valid_gt = np.where(gt_label.flat >= 0)[0]
-            gt_bbox = gt_bbox[valid_gt, :]
-            gt_label = gt_label.flat[valid_gt].astype(int)
-            if gt_difficult is None:
-                gt_difficult = np.zeros(gt_bbox.shape[0])
-            else:
-                gt_difficult = gt_difficult.flat[valid_gt]
+                self._score[cls].append(scores)
+                self._match[cls].append(codes)
 
-            for l in np.unique(np.concatenate((pred_label, gt_label)).astype(int)):
-                pred_mask_l = pred_label == l
-                pred_bbox_l = pred_bbox[pred_mask_l]
-                pred_score_l = pred_score[pred_mask_l]
-                order = pred_score_l.argsort()[::-1]
-                pred_bbox_l = pred_bbox_l[order]
-                pred_score_l = pred_score_l[order]
+    # --- results ----------------------------------------------------------
 
-                gt_mask_l = gt_label == l
-                gt_bbox_l = gt_bbox[gt_mask_l]
-                gt_difficult_l = gt_difficult[gt_mask_l]
-
-                self._n_pos[l] += np.logical_not(gt_difficult_l).sum()
-                self._score[l].extend(pred_score_l)
-
-                if len(pred_bbox_l) == 0:
-                    continue
-                if len(gt_bbox_l) == 0:
-                    self._match[l].extend((0,) * pred_bbox_l.shape[0])
-                    continue
-
-                iou = np_bbox_iou(pred_bbox_l, gt_bbox_l)
-                gt_index = iou.argmax(axis=1)
-                gt_index[iou.max(axis=1) < self.iou_thresh] = -1
-
-                selec = np.zeros(gt_bbox_l.shape[0], dtype=bool)
-                for gt_idx in gt_index:
-                    if gt_idx >= 0:
-                        if gt_difficult_l[gt_idx]:
-                            self._match[l].append(-1)
-                        else:
-                            self._match[l].append(1 if not selec[gt_idx] else 0)
-                        selec[gt_idx] = True
-                    else:
-                        self._match[l].append(0)
-
-    def _update(self):
-        aps = []
-        recall, precs = self._recall_prec()
-        for l, rec, prec in zip(range(len(precs)), recall, precs):
-            ap = self._average_precision(rec, prec)
-            aps.append(ap)
-            if self.num is not None and l < (self.num - 1):
-                self.sum_metric[l] = ap
-                self.num_inst[l] = 1
-        if self.num is None:
-            self.num_inst = 1
-            self.sum_metric = np.nanmean(aps) if aps else float("nan")
-        else:
-            self.num_inst[-1] = 1
-            self.sum_metric[-1] = np.nanmean(aps) if aps else float("nan")
-
-    def _recall_prec(self):
-        n_fg_class = max(self._n_pos.keys(), default=-1) + 1
-        prec = [None] * n_fg_class
-        rec = [None] * n_fg_class
-        for l in self._n_pos.keys():
-            score_l = np.array(self._score[l])
-            match_l = np.array(self._match[l], dtype=np.int32)
-            order = score_l.argsort()[::-1]
-            match_l = match_l[order]
-            tp = np.cumsum(match_l == 1)
-            fp = np.cumsum(match_l == 0)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                prec[l] = tp / (fp + tp)
-            if self._n_pos[l] > 0:
-                rec[l] = tp / self._n_pos[l]
-        return rec, prec
+    def _class_ap(self, cls):
+        """(recall, precision, AP) for one class from the streamed chunks."""
+        scores = np.concatenate(self._score[cls]) if self._score[cls] else np.zeros(0)
+        codes = np.concatenate(self._match[cls]) if self._match[cls] else np.zeros(0, np.int8)
+        order = np.argsort(-scores, kind="stable")
+        codes = codes[order]
+        tp = np.cumsum(codes == 1)
+        fp = np.cumsum(codes == 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prec = tp / (tp + fp)
+        rec = tp / self._n_pos[cls] if self._n_pos[cls] > 0 else None
+        if rec is None:
+            return None, prec, np.nan
+        return rec, prec, self._average_precision(rec, prec)
 
     def _average_precision(self, rec, prec):
-        """Integrated AP (area under interpolated PR curve)."""
-        if rec is None or prec is None:
-            return np.nan
+        """Area under the interpolated PR curve (VOC >=2010 style)."""
         mrec = np.concatenate(([0.0], rec, [1.0]))
         mpre = np.concatenate(([0.0], np.nan_to_num(prec), [0.0]))
-        for i in range(mpre.size - 1, 0, -1):
-            mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
-        i = np.where(mrec[1:] != mrec[:-1])[0]
-        return np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1])
+        # interpolate: precision at recall r = max precision at recall >= r
+        mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+        steps = np.flatnonzero(np.diff(mrec))
+        return float(np.sum((mrec[steps + 1] - mrec[steps]) * mpre[steps + 1]))
+
+    def get(self):
+        aps = {cls: self._class_ap(cls)[2] for cls in self._n_pos}
+        mean_ap = float(np.nanmean(list(aps.values()))) if aps else float("nan")
+        if self.num is None:
+            return (self.name, mean_ap)
+        names = [str(n) for n in self.name]
+        per_class = [aps.get(i, float("nan")) for i in range(self.num - 1)]
+        if self.class_map:
+            # cross-dataset eval: class i of this metric reads the AP of the
+            # model-space class it maps to (reference :71-81,:126-127)
+            per_class = [
+                float("nan") if self.class_map[i] < 0 else aps.get(self.class_map[i], float("nan"))
+                for i in range(self.num - 1)
+            ]
+        return names, per_class + [mean_ap]
 
 
 class VOC07MApMetric(VOCMApMetric):
     """11-point interpolated AP (reference pascalvoc.py:523-560)."""
 
     def _average_precision(self, rec, prec):
-        if rec is None or prec is None:
-            return np.nan
-        ap = 0.0
-        for t in np.arange(0.0, 1.1, 0.1):
-            if np.sum(rec >= t) == 0:
-                p = 0
-            else:
-                p = np.max(np.nan_to_num(prec)[rec >= t])
-            ap += p / 11.0
-        return ap
+        prec = np.nan_to_num(prec)
+        total = 0.0
+        for t in np.linspace(0.0, 1.0, 11):
+            above = prec[rec >= t]
+            total += float(above.max()) if above.size else 0.0
+        return total / 11.0
 
 
 class VOCMApMetricTemporal:
