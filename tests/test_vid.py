@@ -153,3 +153,21 @@ def test_vid_metric_agnostic(vid_root):
     names, values = metric.get()
     assert names[-1] == "agnostic"
     assert float(values[-1]) == 100.0
+
+
+def test_label_cache_parses_each_xml_once(vid_root, monkeypatch):
+    """Round-2: __init__'s warm-up parse is kept; later accesses are dict
+    hits (reference re-parses every access, imgnetvid.py:317-351)."""
+    import xml.etree.ElementTree as et
+
+    ds = ImageNetVidDetection(root=vid_root, splits=[(2017, "val")])
+    assert len(ds._labels) == len(ds)  # warm-up filled the cache
+    calls = []
+    real = et.parse
+    monkeypatch.setattr(et, "parse", lambda *a, **k: calls.append(a) or real(*a, **k))
+    lab1 = ds._load_label(0)
+    lab2 = ds.get_label(ds.sample_ids[0])
+    assert calls == []  # no re-parse
+    # cache returns copies: caller mutation cannot poison it
+    lab1[:] = -99
+    assert not np.array_equal(ds._load_label(0), lab1)
