@@ -49,7 +49,9 @@ def test_positive_interval_saves_every_n(tmp_path):
         save_params(prefix, _vars(), 0.0, 1.0, epoch=e, save_interval=2)
     files = sorted(os.listdir(tmp_path))
     epochs = [f for f in files if f.startswith("exp_000")]
-    assert len(epochs) == 2  # epochs 1 and 3 ((e+1) % 2 == 0)
+    # reference policy: epoch % N == 0 -> epochs 0 and 2, named
+    # {prefix}_{epoch:04d}.params exactly (its resume parses that form)
+    assert epochs == ["exp_0000.params", "exp_0002.params"]
 
 
 def test_negative_interval_gc(tmp_path):
@@ -61,16 +63,14 @@ def test_negative_interval_gc(tmp_path):
     kept = sorted(
         f for f in os.listdir(tmp_path) if f.startswith("exp_000") and "best" not in f
     )
-    kept_epochs = sorted(int(f.split("_")[1]) for f in kept)
-    assert 6 in kept_epochs  # newest always kept
-    for e in kept_epochs:
-        assert e == 6 or e % 3 == 0, kept_epochs
+    kept_epochs = sorted(int(f.split("_")[1][:4]) for f in kept)
+    assert kept_epochs == [0, 3, 6]  # every |N|th; strays GC'd at boundaries
 
 
 def test_find_latest_and_resume(tmp_path):
     prefix = str(tmp_path / "exp")
     for e in (0, 2, 5):
-        save_variables(f"{prefix}_{e:04d}_0.0000.params", _vars(e))
+        save_variables(f"{prefix}_{e:04d}.params", _vars(e))
     latest = find_latest(str(tmp_path))
     assert "0005" in latest
     variables, start = resume_params("", -1, str(tmp_path), _vars(9))

@@ -154,3 +154,27 @@ def test_flat_layout_sizes():
     assert total == (13 * 13 + 26 * 26 + 52 * 52) * 3 == 10647
     assert list(strides) == [32, 16, 8]
     assert list(starts) == [0, 507, 2535]
+
+
+def test_colliding_gts_later_wins_deterministically():
+    """Two gts matched to the same (cell, anchor) slot: the reference's
+    sequential scatter lets the later gt overwrite (yolo_target.py:104-130);
+    the vectorised scatter must resolve the collision the same way."""
+    input_hw = (416, 416)
+    # identical geometry -> same best anchor, same cell; different classes
+    boxes = np.full((1, 4, 4), -1.0, np.float32)
+    ids = np.full((1, 4, 1), -1.0, np.float32)
+    boxes[0, 0] = [100, 100, 220, 220]
+    ids[0, 0, 0] = 3
+    boxes[0, 1] = [101, 101, 221, 221]
+    ids[0, 1, 0] = 7
+    ref = python_prefetch(boxes, ids, input_hw, 20)
+    got = prefetch_targets(
+        jnp.asarray(boxes), jnp.asarray(ids), input_hw=input_hw, num_classes=20
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), r, atol=1e-5)
+    # the winning class row is gt #1's (class 7)
+    cls = np.asarray(got[4])[0]
+    hot = np.where(cls.max(axis=-1) > 0)[0]
+    assert len(hot) == 1 and cls[hot[0], 7] == 1.0 and cls[hot[0], 3] == 0.0

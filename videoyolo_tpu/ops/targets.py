@@ -109,6 +109,17 @@ def _prefetch_single(
     # invalid gts scatter out of bounds -> dropped
     flat = jnp.where(valid, flat, total)
 
+    # collision determinism: when two gts land on the same (cell, anchor)
+    # slot the reference's sequential loop lets the LATER gt overwrite
+    # (yolo_target.py:104-130); JAX scatter with duplicate indices is
+    # unspecified, so resolve first — scatter-max of the gt index picks the
+    # winner per slot, losers are redirected out of bounds and dropped.
+    gt_rank = jnp.arange(m, dtype=jnp.int32)
+    slot_winner = (
+        jnp.full((total + 1,), -1, jnp.int32).at[flat].max(gt_rank, mode="drop")
+    )
+    flat = jnp.where(slot_winner[flat] == gt_rank, flat, total)
+
     tx = cx / orig_w * gw_l - loc_x
     ty = cy / orig_h * gh_l - loc_y
     anchor_w = all_anchors[match, 0]

@@ -60,36 +60,42 @@ def save_params(
         save_variables(f"{prefix}_best.params", variables)
         with open(prefix + "_best_map.log", "a") as f:
             f.write(f"{epoch:04d}:\t{current_map:.4f}\n")
-    if save_interval and (epoch + 1) % save_interval == 0:
-        save_variables(f"{prefix}_{epoch:04d}_{current_map:.4f}.params", variables)
+    # file name matches the reference exactly ({prefix}_{epoch:04d}.params):
+    # checkpoints exported via write_mxnet_params stay loadable by the
+    # reference's resume, which parses the last '_' token as the epoch
+    if save_interval > 0 and epoch % save_interval == 0:
+        save_variables(f"{prefix}_{epoch:04d}.params", variables)
     if save_interval < 0:
-        save_variables(f"{prefix}_{epoch:04d}_{current_map:.4f}.params", variables)
-        # GC: keep only every |interval|th epoch (and the newest)
-        for old in sorted(glob.glob(prefix + "_*.params")):
-            base = os.path.basename(old)
-            try:
-                e = int(base[len(os.path.basename(prefix)) + 1 :].split("_")[0])
-            except ValueError:
-                continue
-            if e != epoch and e % abs(save_interval) != 0:
-                os.remove(old)
+        # save every epoch; on each |interval| boundary delete the strays
+        # since the previous boundary (train_yolov3.py:301-309)
+        save_variables(f"{prefix}_{epoch:04d}.params", variables)
+        if epoch % -save_interval == 0:
+            for d in range(max(0, epoch + save_interval + 1), epoch):
+                stale = f"{prefix}_{d:04d}.params"
+                if os.path.exists(stale):
+                    os.remove(stale)
     return best_map
+
+
+def _epoch_of(path: str) -> int:
+    """Epoch from a checkpoint name — the reference's parse:
+    int(file[:-7].split('_')[-1]) for {prefix}_{epoch:04d}.params."""
+    try:
+        return int(os.path.basename(path)[: -len(".params")].split("_")[-1])
+    except ValueError:
+        return -1
 
 
 def find_latest(save_dir: str) -> Optional[str]:
     """Latest epoch checkpoint in a dir (resume start_epoch=-1 behaviour)."""
-    files = [f for f in glob.glob(os.path.join(save_dir, "*_0*.params"))]
+    files = [
+        f
+        for f in glob.glob(os.path.join(save_dir, "*_0*.params"))
+        if _epoch_of(f) >= 0
+    ]
     if not files:
         return None
-
-    def epoch_of(f):
-        parts = os.path.basename(f).split("_")
-        for p in parts:
-            if p.isdigit():
-                return int(p)
-        return -1
-
-    return max(files, key=epoch_of)
+    return max(files, key=_epoch_of)
 
 
 def resume_params(
@@ -103,19 +109,13 @@ def resume_params(
         path = resume.strip()
         variables = load_variables(path, template)
         if start_epoch < 0:
-            base = os.path.basename(path)
-            for p in base.split("_"):
-                if p.isdigit():
-                    return variables, int(p) + 1
-            return variables, 0
+            e = _epoch_of(path)
+            return variables, e + 1 if e >= 0 else 0
         return variables, start_epoch
     if start_epoch == -1:
         latest = find_latest(save_dir)
         if latest is None:
             return None, 0
         variables = load_variables(latest, template)
-        for p in os.path.basename(latest).split("_"):
-            if p.isdigit():
-                return variables, int(p) + 1
-        return variables, 0
+        return variables, _epoch_of(latest) + 1
     return None, max(start_epoch, 0)
