@@ -119,3 +119,25 @@ def test_pretrained_cnn_resolves_and_loads(tmp_path):
         np.asarray(loaded["params"]["backbone"]["conv0"]["Conv_0"]["kernel"]),
         np.transpose(gluon["darknetv30_conv0_weight"], (2, 3, 1, 0)),
     )
+
+
+def test_fast_forward_schedule_resumes_decayed_lr():
+    """Resume must continue the LR schedule from the global step, not replay
+    warmup (round-1: fresh opt_state restarted the schedule while the log
+    reported the offset LR)."""
+    import optax
+
+    from videoyolo_tpu.train.step import fast_forward_schedule, make_optimizer
+
+    sched = lambda step: np.where(step < 100, 1.0, 0.1)
+    tx = make_optimizer(sched, momentum=0.0, weight_decay=0.0)
+    params = {"w": np.zeros(3, np.float32)}
+    grads = {"w": np.ones(3, np.float32)}
+
+    fresh = tx.init(params)
+    upd, _ = tx.update(grads, fresh, params)
+    np.testing.assert_allclose(np.asarray(upd["w"]), -1.0)  # warmup-phase LR
+
+    ff = fast_forward_schedule(tx.init(params), 200)
+    upd, _ = tx.update(grads, ff, params)
+    np.testing.assert_allclose(np.asarray(upd["w"]), -0.1)  # decayed LR
