@@ -71,11 +71,9 @@ def _read_ndarray(r: _Reader) -> np.ndarray:
     elif magic != _V1:
         raise ValueError(f"bad NDArray magic 0x{magic:X}")
     ndim = r.read("I")
-    if magic == _V1:
-        shape = tuple(r.read(f"{ndim}I")) if ndim else ()
-    else:
-        dims = r.read(f"{ndim}q") if ndim else ()
-        shape = tuple(dims) if isinstance(dims, tuple) else (dims,)
+    fmt = "I" if magic == _V1 else "q"  # legacy V1 dims are uint32
+    dims = r.read(f"{ndim}{fmt}") if ndim else ()
+    shape = tuple(dims) if isinstance(dims, tuple) else (dims,)
     _dev_type, _dev_id = r.read("ii")
     type_flag = r.read("i")
     dtype = _DTYPES[type_flag]
