@@ -129,6 +129,7 @@ class DetectionLoader:
         collate: Optional[Callable] = None,
         native_decode: Optional[Sequence[int]] = None,
         multihot: int = 0,
+        native_train: bool = True,
     ):
         """`native_decode=(h, w)` routes whole batches through the C++
         decode+resize+normalize core (native/loader.cc) instead of per-sample
@@ -152,6 +153,7 @@ class DetectionLoader:
                 samples, self._max_boxes, self._mixup, multihot
             )
         )
+        self._native_train = native_train
         self._native_hw = tuple(native_decode) if native_decode else None
         if self._native_hw is not None:
             from .. import native
@@ -208,6 +210,16 @@ class DetectionLoader:
                 "image": imgs,
                 "idx": np.asarray([int(j) for j in chunk], np.int64),
             }
+        if (
+            self._native_train
+            and transform is not None
+            and hasattr(transform, "plan")
+            and getattr(transform, "_device_color", False)
+            and getattr(self._dataset, "native_train_ok", False)
+        ):
+            batch = self._native_train_batch(chunk, transform)
+            if batch is not None:
+                return batch
         ds = self._dataset
         if transform is not None:
             # shallow per-batch view: heavy state (label caches, index maps)
@@ -215,6 +227,44 @@ class DetectionLoader:
             ds = copy.copy(ds)
             ds._transform = transform
         samples = [ds[int(j)] for j in chunk]
+        return self._collate(samples)
+
+    def _native_train_batch(self, chunk, transform):
+        """C++ augmented-decode path (native/loader.cc vy_load_train_batch):
+        plans are sampled in Python from labels + cached image sizes, pixels
+        go decode->crop->resize->flip in native threads, uint8 out.  Returns
+        None to fall back to the Python path (library missing, size unknown,
+        or a decode failure that the Python path should report properly)."""
+        from .. import native
+
+        if not native.available():
+            return None
+        paths, rects, flips, interps, bboxes, mats = [], [], [], [], [], []
+        for j in chunk:
+            label, size = self._dataset.label_and_size(int(j))
+            if size is None:
+                return None
+            w, h = size
+            bbox, rect, flip, interp, mat = transform.plan(label, int(w), int(h))
+            paths.append(self._dataset.sample_path(int(j)))
+            rects.append(rect)
+            flips.append(flip)
+            interps.append(interp)
+            bboxes.append(bbox.astype(np.float32))
+            mats.append(mat)
+        out_w, out_h = transform.out_wh
+        imgs, ok = native.load_train_batch(
+            paths,
+            np.asarray(rects, np.int32),
+            np.asarray(flips, np.uint8),
+            np.asarray(interps, np.uint8),
+            out_h, out_w,
+            transform.fill,
+            threads=self._num_workers,
+        )
+        if not ok.all():
+            return None  # let the Python path surface the unreadable file
+        samples = [(imgs[i], bboxes[i], mats[i]) for i in range(len(chunk))]
         return self._collate(samples)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -97,6 +97,17 @@ class VOCDetection(DetectionDataset):
             return (img, *feats, label)
         return self._transformed(img, label, idx)
 
+    # native augmented-decode path: labels are preloaded and the XML carries
+    # the image size, so plans need no pixel decode (loader.py fast path)
+    native_train_ok = True
+
+    def label_and_size(self, idx):
+        label = self._labels[idx] if self._labels else self._load_label(idx)
+        size = self._im_shapes.get(self.sample_ids[idx])
+        if self._features_dir is not None:
+            return label, None  # feature samples don't go through image decode
+        return label, (None if size is None else tuple(size))
+
     def _load_label(self, idx):
         sample_id = self.sample_ids[idx]
         anno_path = self._annotations_path.format(*self.samples[sample_id])

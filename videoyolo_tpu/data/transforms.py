@@ -470,18 +470,39 @@ class YOLO3DefaultTrainTransform:
         self._mixup = mixup
         self._device_color = device_color
 
-    def __call__(self, src, label):
-        h, w, _ = src.shape
+    def plan(self, label, w, h):
+        """Sample the complete augmentation for a (w, h) image WITHOUT
+        touching pixels: (bbox_out, rect, flip, interp, color_matrix).
+
+        `bbox_out` is already in output coordinates.  The native train path
+        (native/loader.cc vy_load_train_batch) consumes the plan and does
+        decode+crop+resize+flip in C++; __call__ consumes the same plan for
+        the in-Python pixels, so both paths share one RNG stream and one
+        set of semantics.
+        """
         bbox, rect, flip = _sample_train_geometry(label, w, h)
-        interp = np.random.randint(0, 5)
-        fill = [m * 255 for m in self._mean]
-        img = crop_resize_pad(src, rect, self._width, self._height, interp, fill)
+        interp = int(np.random.randint(0, 5))
         bbox = bbox_resize(bbox, (rect[2], rect[3]), (self._width, self._height))
         if flip:
-            img = img[:, ::-1, :]
             bbox = bbox_flip(bbox, (self._width, self._height), flip_x=True)
-        img = np.ascontiguousarray(img)
         mat = sample_color_matrix(mean=self._mean, std=self._std)
+        return bbox, rect, flip, interp, mat
+
+    @property
+    def fill(self):
+        return [m * 255 for m in self._mean]
+
+    @property
+    def out_wh(self):
+        return self._width, self._height
+
+    def __call__(self, src, label):
+        h, w, _ = src.shape
+        bbox, rect, flip, interp, mat = self.plan(label, w, h)
+        img = crop_resize_pad(src, rect, self._width, self._height, interp, self.fill)
+        if flip:
+            img = img[:, ::-1, :]
+        img = np.ascontiguousarray(img)
         if self._device_color:
             return img, bbox.astype(np.float32), mat
         return apply_color_np(img, mat), bbox.astype(np.float32)

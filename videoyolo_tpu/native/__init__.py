@@ -33,16 +33,19 @@ STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def _build() -> bool:
-    cmd = [
+    base = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
         "-o", _SO, "-ljpeg", "-lpthread",
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception as e:  # toolchain/libjpeg missing — degrade gracefully
-        logging.debug("native loader build failed: %s", e)
-        return False
+    # -march=native lets gcc vectorise the resampling inner loops; retry
+    # plain if the flag is unsupported on this toolchain
+    for cmd in (base[:1] + ["-march=native"] + base[1:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception as e:  # toolchain/libjpeg missing — degrade gracefully
+            logging.debug("native loader build failed (%s): %s", cmd[1], e)
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -62,6 +65,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ]
+            lib.vy_load_train_batch.restype = ctypes.c_int
+            lib.vy_load_train_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ]
             _lib = lib
@@ -107,3 +118,46 @@ def load_batch(
         nthreads,
     )
     return out, sizes
+
+
+def load_train_batch(
+    paths: Sequence[str],
+    rects: np.ndarray,  # (N, 4) x0,y0,w,h crop windows in image coords
+    flips: np.ndarray,  # (N,) bool/uint8
+    interps: np.ndarray,  # (N,) 0-4 (4 maps to cubic natively)
+    out_h: int,
+    out_w: int,
+    fill: Sequence[float],  # rgb in [0,255]
+    threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Augmented train decode: JPEG -> fused pad-crop-resize-flip, uint8 NHWC.
+
+    Consumes the geometry plans sampled by the train transform
+    (data/transforms.YOLO3DefaultTrainTransform.plan); color/normalization
+    is NOT applied (ops/color.py does it on device).  Returns
+    (batch (N, out_h, out_w, 3) uint8, ok (N,) int32 — 0 marks decode
+    failures, left as fill tiles).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable (g++/libjpeg missing?)")
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    ok = np.empty((n,), np.int32)
+    rects = np.ascontiguousarray(rects, np.int32)
+    flips = np.ascontiguousarray(flips, np.uint8)
+    interps = np.ascontiguousarray(interps, np.uint8)
+    fill_u8 = np.ascontiguousarray(np.round(fill), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.vy_load_train_batch(
+        arr, n,
+        rects.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        interps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_h, out_w,
+        fill_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        threads or (os.cpu_count() or 1),
+    )
+    return out, ok
