@@ -51,6 +51,11 @@ flags.DEFINE_boolean("per_frame_metric", False, "Save a per-frame metric to pred
 flags.DEFINE_string("worst_video_path", None, "Path to save video of worst case detections.")
 flags.DEFINE_boolean("display_gt", True, "Display the ground truth boxes on the images?")
 flags.DEFINE_boolean("model_agnostic", False, "make the model class agnostic?")
+flags.DEFINE_boolean(
+    "s2d_stem", False,
+    "Evaluate the darknet stem on the space-to-depth grid (bit-equivalent, "
+    "faster on TPU); standard checkpoints are refolded on load.",
+)
 flags.DEFINE_boolean("metric_agnostic", False, "make the metric class agnostic?")
 flags.DEFINE_list("gpus", [0], "Kept for reference CLI parity; devices come from JAX.")
 flags.DEFINE_integer("num_workers", 8, "Data loading workers.")
@@ -210,6 +215,7 @@ def get_net_and_params(num_classes):
         temporal=FLAGS.temp,
         t_out=FLAGS.mult_out,
         conv_types=tuple(int(c) for c in FLAGS.conv_types),
+        s2d_stem=FLAGS.s2d_stem,
     )
     model = build_model(cfg)
     shape = (
@@ -219,7 +225,21 @@ def get_net_and_params(num_classes):
     )
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32), train=False)
     if FLAGS.model_path and os.path.exists(FLAGS.model_path):
-        variables = load_variables(FLAGS.model_path, dict(variables))
+        if FLAGS.s2d_stem and getattr(model, "s2d_stem", False):
+            # checkpoints are stored in the standard layout: load against a
+            # standard-model template, then refold the stem kernels
+            from videoyolo_tpu.models.s2d import refold_stem_s2d
+            import dataclasses
+
+            std = build_model(dataclasses.replace(cfg, s2d_stem=False))
+            std_vars = std.init(
+                jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32), train=False
+            )
+            variables = refold_stem_s2d(
+                load_variables(FLAGS.model_path, dict(std_vars)), prefix="backbone"
+            )
+        else:
+            variables = load_variables(FLAGS.model_path, dict(variables))
         logging.info("Loaded params from %s", FLAGS.model_path)
     elif FLAGS.model_path:
         raise FileNotFoundError(FLAGS.model_path)

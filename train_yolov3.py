@@ -67,6 +67,12 @@ flags.DEFINE_string(
     "dtype", "bf16",
     "Model compute dtype: bf16 (MXU-native) or f32.",
 )
+flags.DEFINE_boolean(
+    "s2d_stem", False,
+    "Evaluate the darknet stem on the space-to-depth grid (bit-equivalent, "
+    "better MXU utilisation); pretrained bases are refolded on load, and "
+    "checkpoints save in the s2d layout (detect with --s2d_stem too).",
+)
 flags.DEFINE_integer(
     "accum_steps", 1,
     "Gradient-accumulation micro-steps per optimizer update (effective "
@@ -545,7 +551,30 @@ def _load_pretrained_base(variables, conv_types, example, seed):
             "scope (YOLOv3Temporal builds its base inline); pass "
             "--nopretrained_cnn or warm-start via --resume."
         )
-    if any(int(c) != 2 for c in conv_types):
+    if FLAGS.s2d_stem:
+        # load into a scratch standard Darknet53 tree, refold the stem
+        # kernels into the s2d layout (models/s2d.py), then install
+        import jax
+        import jax.numpy as jnp
+
+        from videoyolo_tpu.models.darknet import Darknet53
+        from videoyolo_tpu.models.s2d import refold_stem_s2d
+
+        d2 = Darknet53()
+        hw = tuple(example.shape[-3:-1])
+        v2 = d2.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1,) + hw + (3,), jnp.float32), False
+        )
+        v2 = load_gluon_darknet53(dict(v2), path, prefix="")
+        v2 = refold_stem_s2d(v2)
+        variables = {
+            k: dict(v) if hasattr(v, "items") else v for k, v in variables.items()
+        }
+        variables["params"] = dict(variables["params"])
+        variables["batch_stats"] = dict(variables["batch_stats"])
+        variables["params"]["backbone"] = v2["params"]
+        variables["batch_stats"]["backbone"] = v2["batch_stats"]
+    elif any(int(c) != 2 for c in conv_types):
         # 3D/2+1D base: load the 2D weights into a scratch Darknet53 tree,
         # then inflate (reference three_darknet.py:274-318)
         import jax
@@ -633,6 +662,7 @@ def main(_argv):
             list(classes),
             dtype=dtype,
             remat=FLAGS.remat,
+            s2d_stem=FLAGS.s2d_stem,
             k=k,
             k_join_type=FLAGS.k_join_type,
             k_join_pos=FLAGS.k_join_pos,

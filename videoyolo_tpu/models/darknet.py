@@ -20,10 +20,49 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBNLeaky
+from .layers import BN_EPS, BN_MOMENTUM, ConvBNLeaky, leaky
 
 DARKNET53_LAYERS = (1, 2, 8, 8, 4)
 DARKNET53_CHANNELS = (32, 64, 128, 256, 512, 1024)
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major channel layout
+    (channel index = (p*2 + q) * C + c for spatial phase (p, q))."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+class ConvBNLeakyS2D(nn.Module):
+    """conv0 evaluated on the space-to-depth grid — bit-equivalent to the
+    standard stem, MXU-shaped.
+
+    The stride-1 3x3 conv over (H, W, 3) at 24% MFU (contraction dim 27,
+    32 output channels) becomes a 3x3 conv over (H/2, W/2, 12) producing all
+    4 output phases at once (contraction 108, 128 outputs) — same FLOPs,
+    MXU-friendly tiles.  BatchNorm pools statistics across the 4 phases
+    (reshape to (..., 4, C)), so train-mode stats equal the standard conv0's
+    exactly; scale/bias/mean/var stay (C,)-shaped and refold verbatim
+    (models/s2d.py)."""
+
+    features: int  # ORIGINAL stem channels (32); conv emits 4x that
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            4 * self.features, (3, 3), padding=[(1, 1), (1, 1)],
+            use_bias=False, dtype=self.dtype,
+        )(x)
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h, w, 4, self.features)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
+        )(x)
+        return leaky(x).reshape(b, h, w, 4 * self.features)
 
 
 class DarknetBasicBlock(nn.Module):
@@ -41,15 +80,28 @@ class DarknetBasicBlock(nn.Module):
 
 
 class DarknetStage(nn.Module):
-    """Stride-2 downsample conv followed by `num_blocks` residual blocks."""
+    """Stride-2 downsample conv followed by `num_blocks` residual blocks.
+
+    `s2d_in=True` marks the input as a space-to-depth-layout stem activation
+    (B, H/2, W/2, 4C): the 3x3/s2 downsample becomes the refolded 2x2/s1
+    conv over the phase channels — identical output, MXU-shaped (the child
+    module names stay the same so checkpoints refold in place, models/s2d.py).
+    """
 
     channels: int
     num_blocks: int
+    s2d_in: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNLeaky(self.channels, kernel=3, stride=2, dtype=self.dtype)(x, train)
+        if self.s2d_in:
+            x = ConvBNLeaky(
+                self.channels, kernel=2, stride=1,
+                padding=[(1, 0), (1, 0)], dtype=self.dtype,
+            )(x, train)
+        else:
+            x = ConvBNLeaky(self.channels, kernel=3, stride=2, dtype=self.dtype)(x, train)
         for _ in range(self.num_blocks):
             x = DarknetBasicBlock(self.channels // 2, dtype=self.dtype)(x, train)
         return x
@@ -65,21 +117,34 @@ class Darknet53(nn.Module):
     layers: Sequence[int] = DARKNET53_LAYERS
     channels: Sequence[int] = DARKNET53_CHANNELS
     remat_stages: int = 0  # rematerialise the first N stages (high-res ones)
+    # evaluate the stem on the space-to-depth grid (bit-equivalent, see
+    # ConvBNLeakyS2D); weights refold from standard checkpoints via
+    # models/s2d.refold_stem_s2d
+    s2d_stem: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # stage1: conv0 + groups up to and including the 256-ch / 8-block group
-        x = ConvBNLeaky(self.channels[0], kernel=3, stride=1, name="conv0", dtype=self.dtype)(
-            x, train
-        )
+        if self.s2d_stem:
+            x = space_to_depth(x)
+            x = ConvBNLeakyS2D(self.channels[0], name="conv0", dtype=self.dtype)(x, train)
+        else:
+            x = ConvBNLeaky(
+                self.channels[0], kernel=3, stride=1, name="conv0", dtype=self.dtype
+            )(x, train)
         routes = []
         for i, (nblocks, ch) in enumerate(zip(self.layers, self.channels[1:])):
             # selective remat: the high-resolution groups dominate activation
             # memory; recomputing only them frees most of the HBM for a
             # fraction of full-backbone recompute
             cls = nn.remat(DarknetStage, static_argnums=(2,)) if i < self.remat_stages else DarknetStage
-            x = cls(ch, nblocks, name=f"stage{i + 1}", dtype=self.dtype)(x, train)
+            x = cls(
+                ch, nblocks,
+                s2d_in=self.s2d_stem and i == 0,
+                name=f"stage{i + 1}",
+                dtype=self.dtype,
+            )(x, train)
             if i >= 2:  # 256, 512, 1024-channel groups are the FPN routes
                 routes.append(x)
         return tuple(routes)

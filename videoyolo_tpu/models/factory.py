@@ -2,9 +2,9 @@
 
 Capability parity with `/root/reference/models/definitions/yolo/wrappers.py`
 (`yolo3_darknet53` :9, `yolo3_3ddarknet` :113, `yolo3_no_backbone` :133): one
-entry point dispatching over the temporal-model config axes.  Axes not yet
-implemented in the TPU build raise `NotImplementedError` with the reference
-location, so the config surface is complete and honest.
+entry point dispatching over the temporal-model config axes — every reachable
+reference configuration builds (YoloConfig.validate() rejects the same
+illegal combinations the reference asserts on, yolo3.py:978-988).
 """
 from __future__ import annotations
 
@@ -46,6 +46,7 @@ class YoloConfig:
     conv_types: Sequence[int] = (2, 2, 2, 2, 2, 2)
     funnel_time: bool = False
     remat: bool = False  # rematerialise backbone activations (2D model)
+    s2d_stem: bool = False  # space-to-depth stem (2D model; models/s2d.py)
     dtype: object = None
 
     def validate(self):
@@ -142,7 +143,7 @@ def build_model(cfg: YoloConfig):
         )
     return YOLOv3(
         num_classes=cfg.num_classes, agnostic=cfg.agnostic, remat=cfg.remat,
-        dtype=cfg.dtype,
+        s2d_stem=cfg.s2d_stem, dtype=cfg.dtype,
     )
 
 

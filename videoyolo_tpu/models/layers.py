@@ -14,8 +14,10 @@ Capability parity with `/root/reference/models/definitions/layers.py` (the
   module — the fold/unfold trick of layers.py:208-264, which on TPU is free
   (pure layout metadata) and keeps convs large and batched for the MXU.
 * Temporal padding/pooling are static-shape jnp ops (layers.py:23-46,161-205).
-* The conv-RNN (layers.py:267-306) becomes a `lax.scan`-unrolled ConvGRU /
-  ConvLSTM with optional bidirectionality (averaged directions).
+* The conv-RNN (layers.py:267-306) becomes a ConvGRU / ConvLSTM unrolled as
+  a Python loop over the small static window k (optional bidirectionality,
+  averaged directions) — at k<=9 an unrolled trace compiles to the same XLA
+  program a scan would, without the carried-state layout constraints.
 """
 from __future__ import annotations
 

@@ -141,9 +141,14 @@ class YOLOv3(nn.Module):
     use_backbone: bool = True
     # rematerialise backbone activations (large-batch train): True/"full"
     # checkpoints the whole backbone; "stem" only the three high-resolution
-    # groups.  Measured on v5e at 416px B=64: full 744 img/s, stem 656 img/s
-    # (keeping deep activations costs more than recomputing them) — use full.
+    # groups.  Measured on v5e at 416px B=64 (r2 forced-timing harness):
+    # full remat wins over selective — keeping deep activations costs more
+    # HBM than their recompute saves.  Use full for B>32.
     remat: Any = False
+    # evaluate the darknet stem on the space-to-depth grid (bit-equivalent,
+    # MXU-shaped — darknet.ConvBNLeakyS2D); standard checkpoints refold via
+    # models/s2d.refold_stem_s2d(variables, prefix="backbone")
+    s2d_stem: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -152,14 +157,19 @@ class YOLOv3(nn.Module):
             # jax.checkpoint trades FLOPs for HBM: at 416px the full
             # activation set spills beyond a v5e chip past batch ~32
             if self.remat == "stem":
-                routes = Darknet53(name="backbone", remat_stages=3, dtype=self.dtype)(
-                    x, train
-                )
+                routes = Darknet53(
+                    name="backbone", remat_stages=3, s2d_stem=self.s2d_stem,
+                    dtype=self.dtype,
+                )(x, train)
             elif self.remat:
                 cls = nn.remat(Darknet53, static_argnums=(2,))
-                routes = cls(name="backbone", dtype=self.dtype)(x, train)
+                routes = cls(
+                    name="backbone", s2d_stem=self.s2d_stem, dtype=self.dtype
+                )(x, train)
             else:
-                routes = Darknet53(name="backbone", dtype=self.dtype)(x, train)
+                routes = Darknet53(
+                    name="backbone", s2d_stem=self.s2d_stem, dtype=self.dtype
+                )(x, train)
         else:
             routes = tuple(x)
         assert len(routes) == 3

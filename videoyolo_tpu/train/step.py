@@ -151,9 +151,11 @@ def make_train_step(
     """Returns train_step(state, batch) -> (state, metrics).
 
     `accum_steps > 1` splits the batch into that many micro-batches and
-    accumulates gradients over a `lax.scan` before one optimizer update —
-    effective batches beyond the HBM limit (v5e at 416px fits ~64 with
-    remat; accumulation reaches 128+).
+    accumulates gradients before one optimizer update — effective batches
+    beyond the HBM limit (v5e at 416px fits ~64 with remat; accumulation
+    reaches 256+).  Measured on v5e (r2, device_get-forced timing):
+    accum=2/B=128 costs 2.01x the single step, accum=4/B=256 4.3x — the
+    round-1 "13x anomaly" was a timing-harness artifact, not a compiler one.
 
     batch: dict with
       image      (B, H, W, 3)  normalized
