@@ -1,66 +1,220 @@
-"""Headline benchmark: yolo3_darknet53 detection throughput at 416 px.
+"""Headline benchmark: yolo3_darknet53 at 416 px on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Primary metric (detect fps) plus context fields:
 
-Baseline: the reference publishes no numbers (BASELINE.md); the accepted
-proxy for "reference GPU frames/sec/chip" is gluoncv's yolo3_darknet53
-inference throughput on one V100 (~70 fps at 416 with batching).  The north
-star is >=5x that per chip (BASELINE.json), i.e. vs_baseline >= 5.0.
+  metric/value/unit/vs_baseline  detect throughput (fwd + decode + NMS),
+                                 bf16, B=128
+  train_img_s                    jitted train-step throughput (fwd + on-
+                                 device targets + loss + bwd + SGD), bf16,
+                                 B=48, space-to-depth stem, no remat — the
+                                 fastest measured single-chip recipe
+  loader_img_s                   host input pipeline alone (JPEG decode +
+                                 full train augmentation -> uint8+color
+                                 batches) on this host's cores
+  e2e_train_img_s                loader feeding the train step, overlapped
+                                 (prefetch + async dispatch) — min(host,
+                                 device) in practice
+  host_cpus                      cores available to the loader (this box
+                                 has 1; TPU-VMs have ~100+)
 
-Runs the full inference step — backbone + FPN + decode + on-device NMS —
-in bfloat16 on the first available device, steady-state timed.
+Baseline derivation: the reference publishes no numbers (BASELINE.md;
+models/README.md's results table is 'TODO').  The accepted proxy for
+"reference GPU frames/sec/chip" is gluoncv's yolo3_darknet53 inference
+throughput on one V100 — widely reported at ~60-80 fps batched at 416 px
+(gluoncv model-zoo detection benchmarks); we pin 70.  The north star is
+>=5x that per chip (BASELINE.json), i.e. vs_baseline >= 5.0.
+
+All timings force execution with jax.device_get (async dispatch otherwise
+under-reports; round-1's train-side numbers suffered exactly that).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 # persistent compile cache: first-compile of the full graph via the remote
-# compiler is ~5 min; repeat bench runs should be seconds
+# compiler is minutes; repeat bench runs are seconds
 jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 REFERENCE_FPS = 70.0  # documented proxy, see module docstring
-BATCH = 128  # measured sweet spot on v5e (amortises per-launch overhead)
+BATCH = 128  # detect: measured sweet spot on v5e (amortises launch overhead)
 SIZE = 416
 WARMUP = 3
 ITERS = 20
+TRAIN_BATCH = 48  # fastest measured train config (s2d stem, no remat)
+TRAIN_ITERS = 10
 
 
-def main():
+def bench_detect():
     from videoyolo_tpu.models.yolo3 import YOLOv3, postprocess
 
     model = YOLOv3(num_classes=20, dtype=jnp.bfloat16)
     x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16), train=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16), train=False
+    )
 
     @jax.jit
     def step(images):
         boxes, scores = model.apply(variables, images, train=False)
         return postprocess(boxes, scores)
 
-    out = step(x)
-    jax.block_until_ready(out)
+    jax.block_until_ready(step(x))
     for _ in range(WARMUP):
         jax.block_until_ready(step(x))
-
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = step(x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    jax.device_get(out[0])
+    return BATCH * ITERS / (time.perf_counter() - t0)
 
-    fps = BATCH * ITERS / dt
+
+def _train_step_fn():
+    from videoyolo_tpu.models.yolo3 import YOLOv3
+    from videoyolo_tpu.train.lr import lr_schedule
+    from videoyolo_tpu.train.step import create_train_state, make_train_step
+
+    model = YOLOv3(num_classes=20, dtype=jnp.bfloat16, s2d_stem=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False
+    )
+    lr_fn = lr_schedule("step", 1e-3, steps_per_epoch=100, epochs=10)
+    state = create_train_state(model, variables, lr_fn)
+    step = jax.jit(make_train_step(model, num_classes=20), donate_argnums=(0,))
+    return state, step
+
+
+def bench_train(state, step):
+    rs = np.random.RandomState(0)
+    gtb = np.full((TRAIN_BATCH, 56, 4), -1, np.float32)
+    gti = np.full((TRAIN_BATCH, 56, 1), -1, np.float32)
+    gtb[:, 0] = [10, 10, 100, 100]
+    gti[:, 0, 0] = 1
+    batch = {
+        "image": jnp.asarray(rs.rand(TRAIN_BATCH, SIZE, SIZE, 3), jnp.float32),
+        "gt_boxes": jnp.asarray(gtb),
+        "gt_ids": jnp.asarray(gti),
+    }
+    state, m = step(state, batch)
+    jax.device_get(m["total"])  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, m = step(state, batch)
+    jax.device_get(m["total"])
+    rate = TRAIN_BATCH * TRAIN_ITERS / (time.perf_counter() - t0)
+    return rate, state
+
+
+class _SynthDataset:
+    """256 synthetic JPEGs at VOC-typical size, labels known without decode
+    (drives the loader's native augmented-decode path)."""
+
+    native_train_ok = True
+
+    def __init__(self, root="/tmp/videoyolo_bench_imgs", n=256, hw=(400, 500)):
+        import cv2
+
+        os.makedirs(root, exist_ok=True)
+        self.paths = [os.path.join(root, f"{i:04d}.jpg") for i in range(n)]
+        rs = np.random.RandomState(0)
+        for p in self.paths:
+            if not os.path.exists(p):
+                cv2.imwrite(p, rs.randint(0, 255, (*hw, 3), np.uint8))
+        self.wh = (hw[1], hw[0])
+        self._transform = None
+        self._inference = False
+
+    def __len__(self):
+        return len(self.paths)
+
+    def sample_path(self, i):
+        return self.paths[i]
+
+    def _load_label(self, i):
+        return np.array([[50.0, 60.0, 200.0, 220.0, i % 20, 0]])
+
+    def label_and_size(self, i):
+        return self._load_label(i), self.wh
+
+    def __getitem__(self, i):
+        from videoyolo_tpu.data.base import read_image
+
+        img = read_image(self.paths[i])
+        label = self._load_label(i)
+        if self._transform is not None:
+            return self._transform(img, label)
+        return img, label
+
+
+def _loader(epochs_len=256):
+    from videoyolo_tpu.data.loader import DetectionLoader
+    from videoyolo_tpu.data.transforms import YOLO3DefaultTrainTransform
+
+    ds = _SynthDataset(n=epochs_len)
+    return DetectionLoader(
+        ds,
+        batch_size=TRAIN_BATCH,
+        shuffle=True,
+        seed=0,
+        num_workers=os.cpu_count() or 1,
+        transform_factory=lambda w, h: YOLO3DefaultTrainTransform(
+            w, h, device_color=True
+        ),
+        shape_sizes=[SIZE],
+        last_batch="discard",
+    )
+
+
+def bench_loader():
+    loader = _loader()
+    list(loader)  # warm (native .so build, file cache)
+    t0 = time.perf_counter()
+    n = 0
+    for b in loader:
+        n += b["image"].shape[0]
+    return n / (time.perf_counter() - t0)
+
+
+def bench_e2e_train(state, step):
+    loader = _loader()
+    batches = list(loader)  # pre-warm host caches; timing uses a fresh epoch
+    dev = {k: jnp.asarray(v) for k, v in batches[0].items() if k != "label"}
+    state, m = step(state, dev)
+    jax.device_get(m["total"])  # compile the uint8+color variant
+    t0 = time.perf_counter()
+    n = 0
+    for b in loader:
+        dev = {k: v for k, v in b.items() if k in ("image", "gt_boxes", "gt_ids", "color")}
+        state, m = step(state, dev)
+        n += b["image"].shape[0]
+    jax.device_get(m["total"])
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    detect_fps = bench_detect()
+    state, step = _train_step_fn()
+    train_rate, state = bench_train(state, step)
+    loader_rate = bench_loader()
+    e2e_rate = bench_e2e_train(state, step)
     print(
         json.dumps(
             {
                 "metric": "detect_fps_416_bf16_per_chip",
-                "value": round(fps, 2),
+                "value": round(detect_fps, 2),
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / REFERENCE_FPS, 3),
+                "vs_baseline": round(detect_fps / REFERENCE_FPS, 3),
+                "train_img_s": round(train_rate, 1),
+                "loader_img_s": round(loader_rate, 1),
+                "e2e_train_img_s": round(e2e_rate, 1),
+                "host_cpus": os.cpu_count(),
             }
         )
     )
