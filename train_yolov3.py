@@ -227,6 +227,23 @@ def get_dataloaders(train_dataset, val_dataset):
     window = [int(w) for w in FLAGS.window]
     k = window[0]
     num_workers = FLAGS.num_workers if FLAGS.num_workers > 0 else (os.cpu_count() or 4)
+
+    # multi-host pods: each process decodes only its share of the global
+    # batch; a seeded permutation keeps processes disjoint + coordinated and
+    # the loader's (same-seeded) bucket schedule keeps shapes in lockstep
+    # across processes (parallel/multihost.py)
+    import jax
+
+    from videoyolo_tpu.parallel.multihost import local_batch_size, process_epoch_indices
+
+    pc = jax.process_count()
+    train_bs = local_batch_size(FLAGS.batch_size, pc)
+    sampler = None
+    num_samples = None
+    if pc > 1:
+        n_train = len(train_dataset)
+        sampler = lambda epoch: process_epoch_indices(n_train, epoch, seed=FLAGS.seed)
+        num_samples = n_train // pc
     if FLAGS.features_dir:
         # no-backbone head: features are fixed-scale, no random shapes
         from videoyolo_tpu.data.loader import collate_features
@@ -239,12 +256,14 @@ def get_dataloaders(train_dataset, val_dataset):
         train_dataset._transform = YOLO3NBTrainTransform(s, s)
         train_loader = DetectionLoader(
             train_dataset,
-            batch_size=FLAGS.batch_size,
+            batch_size=train_bs,
             shuffle=True,
             last_batch="discard",
             num_workers=num_workers,
             seed=FLAGS.seed,
             collate=collate_features,
+            sampler=sampler,
+            num_samples=num_samples,
         )
         val_loader = None
         if val_dataset is not None:
@@ -278,7 +297,7 @@ def get_dataloaders(train_dataset, val_dataset):
     )
     train_loader = DetectionLoader(
         train_dataset,
-        batch_size=FLAGS.batch_size,
+        batch_size=train_bs,
         shuffle=True,
         last_batch="discard",
         num_workers=num_workers,
@@ -288,6 +307,8 @@ def get_dataloaders(train_dataset, val_dataset):
         shape_sizes=sizes,
         shape_interval=10,
         multihot=multihot,
+        sampler=sampler,
+        num_samples=num_samples,
     )
     val_loader = None
     if val_dataset is not None:
@@ -348,7 +369,8 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
     import jax
 
     from videoyolo_tpu.metrics import VOCMApMetric
-    from videoyolo_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+    from videoyolo_tpu.parallel.mesh import make_mesh, replicated_sharding
+    from videoyolo_tpu.parallel.multihost import put_global_batch
     from videoyolo_tpu.train.checkpoint import save_params
     from videoyolo_tpu.train.lr import lr_schedule
     from videoyolo_tpu.train.step import create_train_state, make_train_step, make_optimizer
@@ -459,7 +481,9 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
                     for k, v in batch.items()
                     if k in ("image", "features", "gt_boxes", "gt_ids", "gt_mix", "color")
                 }
-                dev_batch = shard_batch(dev_batch, mesh)
+                # single-host: sharded device_put; multi-host pods: each
+                # process contributes its local slice of the global batch
+                dev_batch = put_global_batch(dev_batch, mesh)
                 state, metrics = train_step(state, dev_batch)
                 seen += batch["label"].shape[0]
                 global_step += 1

@@ -130,6 +130,8 @@ class DetectionLoader:
         native_decode: Optional[Sequence[int]] = None,
         multihot: int = 0,
         native_train: bool = True,
+        sampler=None,
+        num_samples: Optional[int] = None,
     ):
         """`native_decode=(h, w)` routes whole batches through the C++
         decode+resize+normalize core (native/loader.cc) instead of per-sample
@@ -153,6 +155,12 @@ class DetectionLoader:
                 samples, self._max_boxes, self._mixup, multihot
             )
         )
+        # multi-host data sharding (parallel/multihost.py): `sampler(epoch)`
+        # supplies this process's (already permuted) dataset indices per
+        # epoch; `num_samples` sets the per-process epoch length for __len__
+        self._sampler = sampler
+        self._num_samples = num_samples
+        self._epoch = 0
         self._native_train = native_train
         self._native_hw = tuple(native_decode) if native_decode else None
         if self._native_hw is not None:
@@ -162,15 +170,19 @@ class DetectionLoader:
                 self._native_hw = None  # degrade to the Python path
 
     def __len__(self):
-        n = len(self._dataset)
+        n = self._num_samples if self._num_samples is not None else len(self._dataset)
         if self._last_batch == "discard":
             return n // self._batch_size
         return (n + self._batch_size - 1) // self._batch_size
 
     def _batch_indices(self):
-        idxs = np.arange(len(self._dataset))
-        if self._shuffle:
-            self._rng.shuffle(idxs)
+        if self._sampler is not None:
+            idxs = np.asarray(self._sampler(self._epoch))
+            self._epoch += 1
+        else:
+            idxs = np.arange(len(self._dataset))
+            if self._shuffle:
+                self._rng.shuffle(idxs)
         batches = []
         for i in range(0, len(idxs), self._batch_size):
             chunk = idxs[i : i + self._batch_size]
