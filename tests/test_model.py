@@ -110,3 +110,34 @@ def test_decode_center_in_bounds(voc_model):
     centers = np.asarray((boxes[..., :2] + boxes[..., 2:]) / 2)
     assert centers.min() >= 0.0
     assert centers.max() <= 160.0
+
+
+def test_select_topk_candidates_matches_flat_topk():
+    """The two-stage (box-pool -> pair) selection is exact: identical rows to
+    a naive top-k over the flattened (N*C) score matrix (distinct scores)."""
+    from videoyolo_tpu.models.yolo3 import select_topk_candidates
+
+    rs = np.random.RandomState(3)
+    b, n, c, k = 2, 700, 7, 40
+    scores = rs.uniform(0, 1, (b, n, c)).astype(np.float32)
+    boxes = rs.uniform(0, 100, (b, n, 4)).astype(np.float32)
+    got = np.asarray(
+        select_topk_candidates(jnp.asarray(boxes), jnp.asarray(scores), topk=k)
+    )
+    flat = scores.reshape(b, n * c)
+    for bi in range(b):
+        order = np.argsort(-flat[bi], kind="stable")[:k]
+        np.testing.assert_array_equal(got[bi, :, 1], flat[bi][order])
+        np.testing.assert_array_equal(got[bi, :, 0], (order % c).astype(np.float32))
+        np.testing.assert_array_equal(got[bi, :, 2:], boxes[bi][order // c])
+
+
+def test_select_topk_candidates_fewer_boxes_than_k():
+    from videoyolo_tpu.models.yolo3 import select_topk_candidates
+
+    rs = np.random.RandomState(4)
+    b, n, c, k = 2, 20, 7, 40
+    scores = jnp.asarray(rs.uniform(0, 1, (b, n, c)).astype(np.float32))
+    boxes = jnp.asarray(rs.uniform(0, 100, (b, n, 4)).astype(np.float32))
+    out = select_topk_candidates(boxes, scores, topk=k)
+    assert out.shape == (b, k, 6)

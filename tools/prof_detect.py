@@ -1,0 +1,48 @@
+"""Attribute detect-path time on the real chip: backbone+head fwd, decode,
+top-k candidate select, NMS — each stage timed separately at B=128/416."""
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from videoyolo_tpu.models.yolo3 import YOLOv3, postprocess, select_topk_candidates
+from videoyolo_tpu.ops.nms import box_nms
+
+B, S = 128, 416
+model = YOLOv3(num_classes=20, dtype=jnp.bfloat16)
+x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
+variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3), jnp.bfloat16), train=False)
+
+fwd = jax.jit(lambda im: model.apply(variables, im, train=False))
+topk = jax.jit(select_topk_candidates)
+nms = jax.jit(lambda c: box_nms(c, topk=-1))
+full = jax.jit(lambda im: postprocess(*model.apply(variables, im, train=False)))
+
+def timeit(f, *args, iters=20):
+    o = f(*args); jax.block_until_ready(o)
+    o = f(*args); jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = f(*args)
+    jax.block_until_ready(o)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+boxes, scores = fwd(x)
+# realistic score distribution for NMS timing
+rs = np.random.RandomState(0)
+boxes_r = jnp.asarray(rs.uniform(0, S, (B, boxes.shape[1], 4)).astype(np.float32))
+scores_r = jnp.asarray((rs.uniform(0, 1, (B, scores.shape[1], 20)) ** 8).astype(np.float32))
+cands = topk(boxes_r, scores_r)
+
+res = {
+    "fwd_ms": timeit(fwd, x),
+    "topk_ms": timeit(topk, boxes_r, scores_r),
+    "nms_ms": timeit(nms, cands),
+    "full_ms": timeit(full, x),
+}
+res["fps_full"] = B / res["full_ms"] * 1e3
+res["fps_fwd_only"] = B / res["fwd_ms"] * 1e3
+print(json.dumps(res, indent=1))

@@ -225,13 +225,30 @@ def select_topk_candidates(
     Equivalent to feeding the reference's (B, N*C, 6) per-class tensor into
     box_nms(topk=K): the same top-K (box, class) pairs survive, but we never
     materialise the N*C rows.
+
+    Two-stage exact selection: XLA's TopK cost grows with the scan width, and
+    a flat top-K over N*C (213k lanes at 416px/20cls) measured 34 ms at B=128
+    on v5e — more than half the whole backbone forward.  Instead we first
+    take the top-K *boxes* by their best class score (width N), then the
+    top-K (box,class) pairs within that pool (width K*C).  Exactness: any
+    pair in the true top-K has value >= the K-th pair value t, so its box's
+    best score is >= t, and any box with best score > t contributes a pair
+    above t — hence all true top-K pairs live in the K-box pool (ties at t
+    may resolve in a different order, as with any top-k).  Measured: 3.9 ms
+    for select+NMS, 1.55x end-to-end detect throughput.
     """
     b, n, c = scores.shape
-    flat = scores.reshape(b, n * c)
-    top_scores, flat_idx = jax.lax.top_k(flat, min(topk, n * c))
+    k_pairs = min(topk, n * c)
+    k_boxes = min(topk, n)
+    box_best = jnp.max(scores, axis=-1)  # (B,N)
+    _, box_idx0 = jax.lax.top_k(box_best, k_boxes)
+    pool_scores = jnp.take_along_axis(scores, box_idx0[..., None], axis=1)
+    pool_boxes = jnp.take_along_axis(boxes, box_idx0[..., None], axis=1)
+    flat = pool_scores.reshape(b, k_boxes * c)
+    top_scores, flat_idx = jax.lax.top_k(flat, min(k_pairs, k_boxes * c))
     box_idx = flat_idx // c
     cls_idx = (flat_idx % c).astype(boxes.dtype)
-    top_boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)
+    top_boxes = jnp.take_along_axis(pool_boxes, box_idx[..., None], axis=1)
     return jnp.concatenate(
         [cls_idx[..., None], top_scores[..., None], top_boxes], axis=-1
     )
