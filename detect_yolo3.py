@@ -191,7 +191,7 @@ def get_net_and_params(num_classes):
     import jax.numpy as jnp
 
     from videoyolo_tpu.models.factory import YoloConfig, build_model
-    from videoyolo_tpu.train.checkpoint import load_variables
+    from videoyolo_tpu.train.checkpoint import load_detector_params
 
     window = [int(w) for w in FLAGS.window]
     k = window[0] if window[0] > 1 else None
@@ -236,10 +236,10 @@ def get_net_and_params(num_classes):
                 jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32), train=False
             )
             variables = refold_stem_s2d(
-                load_variables(FLAGS.model_path, dict(std_vars)), prefix="backbone"
+                load_detector_params(FLAGS.model_path, dict(std_vars)), prefix="backbone"
             )
         else:
-            variables = load_variables(FLAGS.model_path, dict(variables))
+            variables = load_detector_params(FLAGS.model_path, dict(variables))
         logging.info("Loaded params from %s", FLAGS.model_path)
     elif FLAGS.model_path:
         raise FileNotFoundError(FLAGS.model_path)

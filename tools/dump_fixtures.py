@@ -65,9 +65,12 @@ def main():
     print("wrote darknet53_activations.npz",
           f1.shape, f2.shape, f3.shape)
 
-    # 3. full-model decode outputs (bit-comparability target)
+    # 3. full-model weights + decode outputs (bit-comparability target)
     net = model_zoo.get_model("yolo3_darknet53_voc", pretrained=True, ctx=ctx)
     net.set_nms(nms_thresh=0.45, nms_topk=400, post_nms=100)
+    yolo_params = os.path.join(args.out, "yolo3_darknet53_voc.params")
+    net.save_parameters(yolo_params)
+    print("wrote", yolo_params)
     net.hybridize()
     xd = rng.uniform(0.0, 1.0, (1, 3, 416, 416)).astype(np.float32)
     ids, scores, bboxes = net(mx.nd.array(xd, ctx=ctx))

@@ -19,7 +19,14 @@ from typing import Any, Dict, Optional, Tuple
 
 from flax import serialization
 
-__all__ = ["save_variables", "load_variables", "save_params", "resume_params", "find_latest"]
+__all__ = [
+    "save_variables",
+    "load_variables",
+    "load_detector_params",
+    "save_params",
+    "resume_params",
+    "find_latest",
+]
 
 
 def save_variables(path: str, variables: Dict[str, Any]) -> str:
@@ -42,6 +49,23 @@ def load_variables(path: str, template: Optional[Dict[str, Any]] = None) -> Dict
             k: serialization.from_state_dict(template[k], state[k]) for k in template
         }
     return serialization.msgpack_restore(raw)
+
+
+def load_detector_params(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Load a detector checkpoint, sniffing the container format.
+
+    `.params` files from the reference (gluon save_parameters, mx.nd.save
+    container magic 0x112 — train_yolov3.py:289-329) are ingested via the
+    full yolo3_darknet53 name mapping; anything else is this repo's flax
+    msgpack.  Lets a reference user point --model_path at their existing
+    checkpoints unchanged."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if len(magic) == 8 and int.from_bytes(magic, "little") == 0x112:
+        from ..utils.gluon_import import load_gluon_yolo3
+
+        return load_gluon_yolo3(dict(variables), path)
+    return load_variables(path, variables)
 
 
 def save_params(

@@ -28,6 +28,8 @@ __all__ = [
     "read_mxnet_params",
     "write_mxnet_params",
     "load_gluon_darknet53",
+    "load_gluon_yolo3",
+    "export_gluon_yolo3",
 ]
 
 _LIST_MAGIC = 0x112
@@ -169,6 +171,172 @@ def _to_mutable(tree):
     if isinstance(tree, dict) or hasattr(tree, "items"):
         return {k: _to_mutable(v) for k, v in tree.items()}
     return tree
+
+
+# --- full yolo3_darknet53 mapping (structured save_parameters names) --------
+#
+# The reference saves/loads full detectors with gluon's `save_parameters` /
+# `load_parameters` (train_yolov3.py:289-329; get_yolov3 at yolo3.py:2023-2027
+# loads zoo files the same way).  That format stores dot-separated STRUCTURAL
+# names produced by `_collect_params_with_prefix` — child blocks are keyed by
+# their position in each HybridSequential:
+#
+#   stages.{s}.{j}[.body.{c}].{0|1}.<leaf>   backbone conv/bn cells
+#   transitions.{t}.{0|1}.<leaf>             pre-upsample 1x1 convs
+#   yolo_blocks.{i}.{body.{j}|tip}.{0|1}.<leaf>
+#   yolo_outputs.{i}.prediction.{weight|bias}
+#   yolo_outputs.{i}.{anchor_{i}|offset_{i}} (constants; rebuilt at trace time
+#                                             here — ops/anchors.py — so they
+#                                             are skipped on import and
+#                                             synthesised on export)
+#
+# where a `_conv2d` cell (layers.py:63-70) is HybridSequential(Conv2D,
+# BatchNorm, LeakyReLU) => conv leaf under ".0", BN leaves under ".1".
+# Index i runs deep->shallow (anchors/strides reversed in YOLOV3.__init__,
+# yolo3.py:415-426), exactly matching this repo's block0/output0 = stride 32.
+
+_DARKNET_LAYERS = (1, 2, 8, 8, 4)
+# yolo3_darknet53 stage slices: features[:15], [15:24], [24:]
+# (yolo3.py:2057 / yolo3_darknet53_custom)
+_STAGE_SPLITS = (0, 15, 24)
+
+
+def _gluon_darknet_cells(layout: str) -> List[Tuple[str, str]]:
+    """(conv_prefix, bn_prefix) gluon dot-paths in creation order — the same
+    order as `_flax_darknet_conv_paths`.  layout='yolo3' names the three
+    stage slices 'stages.{s}.{j}'; layout='bare' names 'features.{j}' (a
+    standalone darknet53 saved via save_parameters)."""
+    kinds = ["conv"]
+    for n in _DARKNET_LAYERS:
+        kinds += ["conv"] + ["block"] * n
+    cells = []
+    for ci, kind in enumerate(kinds):
+        if layout == "yolo3":
+            s = 0 if ci < _STAGE_SPLITS[1] else (1 if ci < _STAGE_SPLITS[2] else 2)
+            base = f"stages.{s}.{ci - _STAGE_SPLITS[s]}"
+        else:
+            base = f"features.{ci}"
+        if kind == "conv":
+            cells.append((f"{base}.0", f"{base}.1"))
+        else:
+            for c in range(2):
+                cells.append((f"{base}.body.{c}.0", f"{base}.body.{c}.1"))
+    return cells
+
+
+def _gluon_yolo3_entries() -> List[Tuple[str, str, Tuple[str, ...], Tuple[str, ...]]]:
+    """(gluon_conv_prefix, gluon_bn_prefix, flax_conv_path, flax_bn_path) for
+    every conv-BN cell of the full yolo3_darknet53 graph."""
+    entries = []
+    for cell, (conv_path, bn_path) in zip(
+        _gluon_darknet_cells("yolo3"), _flax_darknet_conv_paths()
+    ):
+        entries.append(
+            (cell[0], cell[1], ("backbone",) + conv_path, ("backbone",) + bn_path)
+        )
+    for i in range(3):
+        for j in range(5):
+            base = (f"block{i}", f"ConvBNLeaky_{j}")
+            entries.append(
+                (
+                    f"yolo_blocks.{i}.body.{j}.0",
+                    f"yolo_blocks.{i}.body.{j}.1",
+                    base + ("Conv_0",),
+                    base + ("BatchNorm_0",),
+                )
+            )
+        entries.append(
+            (
+                f"yolo_blocks.{i}.tip.0",
+                f"yolo_blocks.{i}.tip.1",
+                (f"block{i}", "ConvBNLeaky_5", "Conv_0"),
+                (f"block{i}", "ConvBNLeaky_5", "BatchNorm_0"),
+            )
+        )
+    for t in range(2):
+        entries.append(
+            (
+                f"transitions.{t}.0",
+                f"transitions.{t}.1",
+                (f"transition{t}", "Conv_0"),
+                (f"transition{t}", "BatchNorm_0"),
+            )
+        )
+    return entries
+
+
+def load_gluon_yolo3(variables: Dict, path: str) -> Dict:
+    """Load a full reference/gluoncv yolo3_darknet53 `.params` checkpoint
+    (structured save_parameters names) into YOLOv3 variables.
+
+    Covers every learnable tensor: 52 backbone cells, 18 head block cells,
+    2 transitions, and the 3 per-level prediction convs (weight OIHW->HWIO,
+    bias).  `anchor_{i}`/`offset_{i}` constants are skipped — this build
+    reconstructs the grids at trace time (ops/anchors.py) instead of storing
+    oversized alloc_size maps (yolo3.py:56-75)."""
+    raw = read_mxnet_params(path)
+    variables = _to_mutable(dict(variables))
+    params = variables["params"] = _to_mutable(variables["params"])
+    stats = variables["batch_stats"] = _to_mutable(variables.get("batch_stats", {}))
+
+    for conv_pref, bn_pref, conv_path, bn_path in _gluon_yolo3_entries():
+        w = raw[conv_pref + ".weight"]
+        _set(params, conv_path, "kernel", np.transpose(w, (2, 3, 1, 0)))
+        _set(params, bn_path, "scale", raw[f"{bn_pref}.gamma"])
+        _set(params, bn_path, "bias", raw[f"{bn_pref}.beta"])
+        _set(stats, bn_path, "mean", raw[f"{bn_pref}.running_mean"])
+        _set(stats, bn_path, "var", raw[f"{bn_pref}.running_var"])
+    for i in range(3):
+        w = raw[f"yolo_outputs.{i}.prediction.weight"]
+        _set(params, (f"output{i}", "prediction"), "kernel", np.transpose(w, (2, 3, 1, 0)))
+        _set(params, (f"output{i}", "prediction"), "bias", raw[f"yolo_outputs.{i}.prediction.bias"])
+    return variables
+
+
+def export_gluon_yolo3(
+    variables: Dict,
+    path: str,
+    anchors: Sequence[Sequence[float]] = (
+        (10, 13, 16, 30, 33, 23),
+        (30, 61, 62, 45, 59, 119),
+        (116, 90, 156, 198, 373, 326),
+    ),
+    alloc_size: Tuple[int, int] = (128, 128),
+):
+    """Write YOLOv3 variables as a reference-loadable `.params` file.
+
+    Emits the exact structural name set gluon's `load_parameters` expects for
+    yolo3_darknet53 — including the `anchor_{i}`/`offset_{i}` constants it
+    stores as parameters (synthesised here; shapes per yolo3.py:56-75, with
+    per-level anchors reversed deep-first like YOLOV3.__init__)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    for conv_pref, bn_pref, conv_path, bn_path in _gluon_yolo3_entries():
+        w = np.asarray(_get(params, conv_path)["kernel"], np.float32)
+        out[conv_pref + ".weight"] = np.transpose(w, (3, 2, 0, 1))
+        bn = _get(params, bn_path)
+        bs = _get(stats, bn_path)
+        out[f"{bn_pref}.gamma"] = np.asarray(bn["scale"], np.float32)
+        out[f"{bn_pref}.beta"] = np.asarray(bn["bias"], np.float32)
+        out[f"{bn_pref}.running_mean"] = np.asarray(bs["mean"], np.float32)
+        out[f"{bn_pref}.running_var"] = np.asarray(bs["var"], np.float32)
+    grid_x, grid_y = np.meshgrid(np.arange(alloc_size[1]), np.arange(alloc_size[0]))
+    offsets = np.concatenate(
+        (grid_x[:, :, None], grid_y[:, :, None]), axis=-1
+    )[None, None].astype(np.float32)
+    anchors_rev = list(anchors)[::-1]
+    for i in range(3):
+        node = _get(params, (f"output{i}", "prediction"))
+        out[f"yolo_outputs.{i}.prediction.weight"] = np.transpose(
+            np.asarray(node["kernel"], np.float32), (3, 2, 0, 1)
+        )
+        out[f"yolo_outputs.{i}.prediction.bias"] = np.asarray(node["bias"], np.float32)
+        out[f"yolo_outputs.{i}.anchor_{i}"] = np.asarray(
+            anchors_rev[i], np.float32
+        ).reshape(1, 1, -1, 2)
+        out[f"yolo_outputs.{i}.offset_{i}"] = offsets
+    write_mxnet_params(path, out)
 
 
 def load_gluon_darknet53(variables: Dict, path: str, prefix: str = "backbone") -> Dict:
