@@ -73,6 +73,40 @@ def bench_detect():
     for _ in range(ITERS):
         out = step(x)
     jax.device_get(out[0])
+    rate = BATCH * ITERS / (time.perf_counter() - t0)
+    return rate, model, variables, x
+
+
+def bench_detect_int8(model, variables, x):
+    """The --quantize int8 serving path: BN-folded per-channel int8 weights,
+    static activation scales calibrated on the benchmark input."""
+    import dataclasses
+
+    from videoyolo_tpu.models.yolo3 import postprocess
+    from videoyolo_tpu.ops.quantize import (
+        calibrate_detector_variables,
+        quantize_detector_variables,
+    )
+
+    qvars = quantize_detector_variables(variables)
+    xq = x.astype(jnp.float32) + 0.5  # non-degenerate calibration stats
+    qvars = calibrate_detector_variables(
+        dataclasses.replace(model, quant=True), qvars, [xq[:8]]
+    )
+    qmodel = dataclasses.replace(model, quant="static")
+
+    @jax.jit
+    def step(images):
+        boxes, scores = qmodel.apply(qvars, images, train=False)
+        return postprocess(boxes, scores)
+
+    jax.block_until_ready(step(x))
+    for _ in range(WARMUP):
+        jax.block_until_ready(step(x))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(x)
+    jax.device_get(out[0])
     return BATCH * ITERS / (time.perf_counter() - t0)
 
 
@@ -199,7 +233,9 @@ def bench_e2e_train(state, step):
 
 
 def main():
-    detect_fps = bench_detect()
+    detect_fps, model, variables, x = bench_detect()
+    int8_fps = bench_detect_int8(model, variables, x)
+    del model, variables, x
     state, step = _train_step_fn()
     train_rate, state = bench_train(state, step)
     loader_rate = bench_loader()
@@ -211,6 +247,7 @@ def main():
                 "value": round(detect_fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(detect_fps / REFERENCE_FPS, 3),
+                "detect_int8_fps": round(int8_fps, 2),
                 "train_img_s": round(train_rate, 1),
                 "loader_img_s": round(loader_rate, 1),
                 "e2e_train_img_s": round(e2e_rate, 1),

@@ -1,0 +1,159 @@
+"""int8 post-training quantization (ops/quantize.py + ConvBNLeaky quant mode).
+
+The reference has no quantised path; these tests pin the serving feature:
+BN folding is exact, and the int8 detector tracks the f32 one closely on
+random weights (the compounding dynamic-quant error over 52+ conv cells
+stays small because activations are BN-normalised).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoyolo_tpu.models.layers import ConvBNLeaky, leaky
+from videoyolo_tpu.ops.quantize import (
+    fold_bn_cell,
+    quantize_cell,
+    quantize_detector_variables,
+)
+
+
+def _random_cell_vars(rs, cin=4, cout=8, k=3):
+    cell = ConvBNLeaky(cout, kernel=k)
+    x = jnp.asarray(rs.rand(2, 8, 8, cin).astype(np.float32))
+    variables = cell.init(jax.random.PRNGKey(0), x, train=False)
+    variables = jax.tree_util.tree_map(lambda a: a, dict(variables))
+    # non-trivial BN stats/params
+    p = {k2: dict(v) for k2, v in variables["params"].items()}
+    s = {k2: dict(v) for k2, v in variables["batch_stats"].items()}
+    p["BatchNorm_0"] = {
+        "scale": jnp.asarray(rs.uniform(0.5, 2.0, cout).astype(np.float32)),
+        "bias": jnp.asarray(rs.uniform(-1, 1, cout).astype(np.float32)),
+    }
+    s["BatchNorm_0"] = {
+        "mean": jnp.asarray(rs.uniform(-1, 1, cout).astype(np.float32)),
+        "var": jnp.asarray(rs.uniform(0.1, 3.0, cout).astype(np.float32)),
+    }
+    p["Conv_0"] = {"kernel": jnp.asarray(rs.randn(k, k, cin, cout).astype(np.float32))}
+    return cell, {"params": p, "batch_stats": s}, x
+
+
+def test_fold_bn_cell_exact():
+    """Folded conv+bias reproduces conv->BN exactly (pre-activation)."""
+    rs = np.random.RandomState(0)
+    cell, variables, x = _random_cell_vars(rs)
+    want = cell.apply(variables, x, train=False)
+
+    w, b = fold_bn_cell(
+        variables["params"]["Conv_0"]["kernel"],
+        variables["params"]["BatchNorm_0"]["scale"],
+        variables["params"]["BatchNorm_0"]["bias"],
+        variables["batch_stats"]["BatchNorm_0"]["mean"],
+        variables["batch_stats"]["BatchNorm_0"]["var"],
+    )
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn
+    ) + jnp.asarray(b)
+    got = leaky(y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_quantize_cell_int8_close():
+    """One int8 cell stays within ~1% of the f32 cell."""
+    rs = np.random.RandomState(1)
+    cell, variables, x = _random_cell_vars(rs, cin=16, cout=32)
+    want = np.asarray(cell.apply(variables, x, train=False))
+
+    qcell = ConvBNLeaky(32, kernel=3, quant=True)
+    q = quantize_cell(
+        variables["params"]["Conv_0"]["kernel"],
+        variables["params"]["BatchNorm_0"]["scale"],
+        variables["params"]["BatchNorm_0"]["bias"],
+        variables["batch_stats"]["BatchNorm_0"]["mean"],
+        variables["batch_stats"]["BatchNorm_0"]["var"],
+    )
+    assert q["qkernel"].dtype == np.int8
+    got = np.asarray(qcell.apply({"params": q}, x, train=False))
+    err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+    assert err < 0.02, err
+
+
+def test_quant_cell_is_eval_only():
+    qcell = ConvBNLeaky(8, quant=True)
+    with pytest.raises(AssertionError):
+        qcell.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)), train=True)
+
+
+def test_quantized_detector_tracks_f32():
+    """Full YOLOv3: int8 variables from quantize_detector_variables drive the
+    quant=True model; scores stay highly correlated with f32."""
+    from videoyolo_tpu.models.yolo3 import YOLOv3
+
+    model = YOLOv3(num_classes=3)
+    qmodel = YOLOv3(num_classes=3, quant=True)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    qvars = quantize_detector_variables(variables)
+
+    boxes, scores = model.apply(variables, x, train=False)
+    qboxes, qscores = qmodel.apply(qvars, x, train=False)
+    assert np.isfinite(np.asarray(qboxes)).all()
+    assert np.isfinite(np.asarray(qscores)).all()
+    corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(qscores).ravel())[0, 1]
+    assert corr > 0.99, corr
+    box_err = np.mean(
+        np.abs(np.asarray(boxes) - np.asarray(qboxes)) / (np.abs(np.asarray(boxes)) + 1.0)
+    )
+    assert box_err < 0.05, box_err
+
+
+def test_static_calibrated_matches_dynamic():
+    """Calibrated static-scale int8 tracks f32 as well as the dynamic mode on
+    the calibration distribution."""
+    from videoyolo_tpu.models.yolo3 import YOLOv3
+    from videoyolo_tpu.ops.quantize import calibrate_detector_variables
+
+    model = YOLOv3(num_classes=3)
+    qdyn = YOLOv3(num_classes=3, quant=True)
+    qstat = YOLOv3(num_classes=3, quant="static")
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.rand(2, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    qvars = quantize_detector_variables(variables)
+    qvars_static = calibrate_detector_variables(qdyn, qvars, [x])
+
+    # every cell gained an xscale; prediction convs untouched
+    assert "xscale" in qvars_static["params"]["backbone"]["conv0"]
+    assert "kernel" in qvars_static["params"]["output0"]["prediction"]
+
+    boxes, scores = model.apply(variables, x, train=False)
+    sboxes, sscores = qstat.apply(qvars_static, x, train=False)
+    corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(sscores).ravel())[0, 1]
+    assert corr > 0.99, corr
+    assert np.isfinite(np.asarray(sboxes)).all()
+
+
+def test_detect_cli_quantize_for_serving_wiring():
+    """detect_yolo3 --quantize: converts + calibrates off loader batches and
+    returns a runnable static-quant model."""
+    import detect_yolo3 as cli
+    from videoyolo_tpu.models.yolo3 import YOLOv3
+
+    cli.FLAGS(["t", "--quantize=int8"])
+    model = YOLOv3(num_classes=3)
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.rand(2, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    qmodel, qvars = cli.quantize_for_serving(model, variables, [{"image": x}])
+    assert qmodel.quant == "static"
+    assert "xscale" in qvars["params"]["backbone"]["conv0"]
+    boxes, scores = qmodel.apply(qvars, x, train=False)
+    assert np.isfinite(np.asarray(scores)).all()
+
+    cli.FLAGS(["t", "--quantize=int8_dynamic"])
+    qmodel2, qvars2 = cli.quantize_for_serving(model, variables, [{"image": x}])
+    assert qmodel2.quant is True
+    assert "xscale" not in qvars2["params"]["backbone"]["conv0"]

@@ -69,13 +69,14 @@ class DarknetBasicBlock(nn.Module):
     """Residual 1x1-reduce + 3x3-expand block (darknet.py:15-42)."""
 
     channels: int  # channels of the 1x1 reduce; 3x3 expands to 2x
+    quant: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        x = ConvBNLeaky(self.channels, kernel=1, stride=1, dtype=self.dtype)(x, train)
-        x = ConvBNLeaky(self.channels * 2, kernel=3, stride=1, dtype=self.dtype)(x, train)
+        x = ConvBNLeaky(self.channels, kernel=1, stride=1, quant=self.quant, dtype=self.dtype)(x, train)
+        x = ConvBNLeaky(self.channels * 2, kernel=3, stride=1, quant=self.quant, dtype=self.dtype)(x, train)
         return x + residual
 
 
@@ -91,6 +92,7 @@ class DarknetStage(nn.Module):
     channels: int
     num_blocks: int
     s2d_in: bool = False
+    quant: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -98,12 +100,12 @@ class DarknetStage(nn.Module):
         if self.s2d_in:
             x = ConvBNLeaky(
                 self.channels, kernel=2, stride=1,
-                padding=[(1, 0), (1, 0)], dtype=self.dtype,
+                padding=[(1, 0), (1, 0)], quant=self.quant, dtype=self.dtype,
             )(x, train)
         else:
-            x = ConvBNLeaky(self.channels, kernel=3, stride=2, dtype=self.dtype)(x, train)
+            x = ConvBNLeaky(self.channels, kernel=3, stride=2, quant=self.quant, dtype=self.dtype)(x, train)
         for _ in range(self.num_blocks):
-            x = DarknetBasicBlock(self.channels // 2, dtype=self.dtype)(x, train)
+            x = DarknetBasicBlock(self.channels // 2, quant=self.quant, dtype=self.dtype)(x, train)
         return x
 
 
@@ -121,17 +123,20 @@ class Darknet53(nn.Module):
     # ConvBNLeakyS2D); weights refold from standard checkpoints via
     # models/s2d.refold_stem_s2d
     s2d_stem: bool = False
+    quant: bool = False  # int8 serving path (eval-only; see ops/quantize.py)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.quant and self.s2d_stem), "quant + s2d_stem unsupported"
         # stage1: conv0 + groups up to and including the 256-ch / 8-block group
         if self.s2d_stem:
             x = space_to_depth(x)
             x = ConvBNLeakyS2D(self.channels[0], name="conv0", dtype=self.dtype)(x, train)
         else:
             x = ConvBNLeaky(
-                self.channels[0], kernel=3, stride=1, name="conv0", dtype=self.dtype
+                self.channels[0], kernel=3, stride=1, name="conv0",
+                quant=self.quant, dtype=self.dtype
             )(x, train)
         routes = []
         for i, (nblocks, ch) in enumerate(zip(self.layers, self.channels[1:])):
@@ -142,6 +147,7 @@ class Darknet53(nn.Module):
             x = cls(
                 ch, nblocks,
                 s2d_in=self.s2d_stem and i == 0,
+                quant=self.quant,
                 name=f"stage{i + 1}",
                 dtype=self.dtype,
             )(x, train)

@@ -38,16 +38,17 @@ class YOLODetectionBlock(nn.Module):
     """5-conv FPN block + 3x3 tip (yolo3.py:202-263, conv_type='2')."""
 
     channel: int
+    quant: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.channel % 2 == 0
         for _ in range(2):
-            x = ConvBNLeaky(self.channel, kernel=1, dtype=self.dtype)(x, train)
-            x = ConvBNLeaky(self.channel * 2, kernel=3, dtype=self.dtype)(x, train)
-        route = ConvBNLeaky(self.channel, kernel=1, dtype=self.dtype)(x, train)
-        tip = ConvBNLeaky(self.channel * 2, kernel=3, dtype=self.dtype)(route, train)
+            x = ConvBNLeaky(self.channel, kernel=1, quant=self.quant, dtype=self.dtype)(x, train)
+            x = ConvBNLeaky(self.channel * 2, kernel=3, quant=self.quant, dtype=self.dtype)(x, train)
+        route = ConvBNLeaky(self.channel, kernel=1, quant=self.quant, dtype=self.dtype)(x, train)
+        tip = ConvBNLeaky(self.channel * 2, kernel=3, quant=self.quant, dtype=self.dtype)(route, train)
         return route, tip
 
 
@@ -149,6 +150,10 @@ class YOLOv3(nn.Module):
     # MXU-shaped — darknet.ConvBNLeakyS2D); standard checkpoints refold via
     # models/s2d.refold_stem_s2d(variables, prefix="backbone")
     s2d_stem: bool = False
+    # int8 serving path: conv-BN-leaky cells contract int8 on the MXU with
+    # dynamically-quantised activations; convert a trained checkpoint via
+    # ops/quantize.quantize_detector_variables (never init).  Eval-only.
+    quant: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -159,16 +164,18 @@ class YOLOv3(nn.Module):
             if self.remat == "stem":
                 routes = Darknet53(
                     name="backbone", remat_stages=3, s2d_stem=self.s2d_stem,
-                    dtype=self.dtype,
+                    quant=self.quant, dtype=self.dtype,
                 )(x, train)
             elif self.remat:
                 cls = nn.remat(Darknet53, static_argnums=(2,))
                 routes = cls(
-                    name="backbone", s2d_stem=self.s2d_stem, dtype=self.dtype
+                    name="backbone", s2d_stem=self.s2d_stem,
+                    quant=self.quant, dtype=self.dtype
                 )(x, train)
             else:
                 routes = Darknet53(
-                    name="backbone", s2d_stem=self.s2d_stem, dtype=self.dtype
+                    name="backbone", s2d_stem=self.s2d_stem,
+                    quant=self.quant, dtype=self.dtype
                 )(x, train)
         else:
             routes = tuple(x)
@@ -182,7 +189,7 @@ class YOLOv3(nn.Module):
         y = routes[-1]
         for i in range(3):
             route, tip = YOLODetectionBlock(
-                self.channels[i], name=f"block{i}", dtype=self.dtype
+                self.channels[i], name=f"block{i}", quant=self.quant, dtype=self.dtype
             )(y, train)
             anchor_pairs = tuple(
                 (anchors_rev[i][2 * j], anchors_rev[i][2 * j + 1])
@@ -198,7 +205,8 @@ class YOLOv3(nn.Module):
             level_outs.append(out)
             if i < 2:
                 y = ConvBNLeaky(
-                    self.channels[i + 1], kernel=1, name=f"transition{i}", dtype=self.dtype
+                    self.channels[i + 1], kernel=1, name=f"transition{i}",
+                    quant=self.quant, dtype=self.dtype,
                 )(route, train)
                 y = upsample2x(y)
                 y = jnp.concatenate([y, routes[2 - (i + 1)]], axis=-1)

@@ -1,0 +1,129 @@
+"""Post-training int8 quantization for serving.
+
+Converts a trained f32 checkpoint into the parameter tree consumed by the
+`quant=True` model variants (models/layers.ConvBNLeaky._quant_call): for
+every conv-BN-leaky cell the BatchNorm is folded into the conv
+(w' = w * gamma/sqrt(var+eps), b' = beta - mean * gamma/sqrt(var+eps)),
+weights are quantised symmetrically per OUTPUT channel
+(wscale_c = max|w'[..., c]| / 127), and activations are left to the cell's
+dynamic per-image quantisation at runtime.  Prediction convs (tiny 1x1
+heads feeding the decode, yolo3.py:25-199 equivalent) stay f32.
+
+The reference has no quantised path — this is a TPU serving feature: int8
+conv contracts on the MXU at ~1.7x bf16 throughput (measured on v5e,
+tools/prof_int8.py).  Typical PTQ accuracy cost for per-channel weights +
+dynamic activations on detection heads is well under 1 mAP; validate on
+your dataset with `detect_yolo3.py --quantize int8` before serving.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from ..models.layers import BN_EPS
+
+__all__ = [
+    "fold_bn_cell",
+    "quantize_cell",
+    "quantize_detector_variables",
+    "calibrate_detector_variables",
+]
+
+
+def fold_bn_cell(kernel, gamma, beta, mean, var):
+    """Fold BN (eps per models/layers.BN_EPS) into a conv kernel.
+    kernel: (Kh, Kw, Cin, Cout) HWIO.  Returns (kernel', bias')."""
+    kernel = np.asarray(kernel, np.float32)
+    scale = np.asarray(gamma, np.float32) / np.sqrt(
+        np.asarray(var, np.float32) + BN_EPS
+    )
+    w = kernel * scale  # broadcasts over the trailing Cout axis
+    b = np.asarray(beta, np.float32) - np.asarray(mean, np.float32) * scale
+    return w, b
+
+
+def quantize_cell(kernel, gamma, beta, mean, var) -> Dict[str, np.ndarray]:
+    """One conv-BN cell -> {qkernel int8, wscale f32[Cout], bias f32[Cout]}."""
+    w, b = fold_bn_cell(kernel, gamma, beta, mean, var)
+    wscale = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+    qkernel = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
+    return {
+        "qkernel": qkernel,
+        "wscale": wscale.astype(np.float32),
+        "bias": b.astype(np.float32),
+    }
+
+
+def _items(tree):
+    return tree.items() if hasattr(tree, "items") else ()
+
+
+def quantize_detector_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """f32 {params, batch_stats} -> {params} for the `quant=True` model.
+
+    Walks the tree; every node shaped like a ConvBNLeaky scope (children
+    `Conv_0` + `BatchNorm_0`) is replaced by its quantised cell; all other
+    leaves (prediction convs, Dense heads) pass through unchanged."""
+    stats = variables.get("batch_stats", {})
+
+    def walk(p, s):
+        if hasattr(p, "items"):
+            if "Conv_0" in p and "BatchNorm_0" in p:
+                bn_p = p["BatchNorm_0"]
+                bn_s = s["BatchNorm_0"] if hasattr(s, "items") and "BatchNorm_0" in s else {}
+                return quantize_cell(
+                    p["Conv_0"]["kernel"],
+                    bn_p["scale"],
+                    bn_p["bias"],
+                    bn_s["mean"],
+                    bn_s["var"],
+                )
+            return {
+                k: walk(v, s[k] if hasattr(s, "items") and k in s else {})
+                for k, v in p.items()
+            }
+        return p
+
+    return {"params": walk(variables["params"], stats)}
+
+
+def calibrate_detector_variables(qmodel_dynamic, qvars, batches):
+    """Dynamic-quant variables -> static-quant variables via calibration.
+
+    Runs the `quant=True` (dynamic) model over `batches` (an iterable of
+    image arrays), collects every cell's observed activation amax (sown
+    under the "quant_calib" collection), and inserts per-cell `xscale`
+    params for the `quant="static"` model — which skips the per-layer max
+    pass at serving time (measured 2007 -> 2795 fps detect at B=128/416
+    on v5e)."""
+    import jax
+    import jax.numpy as jnp
+
+    amax_tree = None
+    for x in batches:
+        _, aux = qmodel_dynamic.apply(qvars, x, train=False, mutable=["quant_calib"])
+        cur = aux["quant_calib"]
+        amax_tree = (
+            cur
+            if amax_tree is None
+            else jax.tree_util.tree_map(jnp.maximum, amax_tree, cur)
+        )
+    assert amax_tree is not None, "need at least one calibration batch"
+    amax_tree = jax.device_get(amax_tree)
+
+    def insert(p, c):
+        if hasattr(p, "items"):
+            if "qkernel" in p:
+                amax = c["amax"]
+                if isinstance(amax, (tuple, list)):
+                    amax = amax[0]
+                xscale = np.maximum(np.float32(amax) / 127.0, 1e-12)
+                return {**p, "xscale": np.float32(xscale)}
+            return {
+                k: insert(v, c[k]) if hasattr(c, "items") and k in c else v
+                for k, v in p.items()
+            }
+        return p
+
+    return {"params": insert(qvars["params"], amax_tree)}
