@@ -11,9 +11,14 @@ Prints ONE JSON line.  Primary metric (detect fps) plus context fields:
   loader_img_s                   host input pipeline alone (JPEG decode +
                                  full train augmentation -> uint8+color
                                  batches) on this host's cores
-  e2e_train_img_s                loader feeding the train step, overlapped
-                                 (prefetch + async dispatch) — min(host,
-                                 device) in practice
+  e2e_train_img_s                loader feeding the train step through the
+                                 async device-prefetcher (data/prefetch.py).
+                                 On this tunneled 1-core box the number is
+                                 bound by host->device bandwidth (~25 MB
+                                 uint8 batches over the TPU tunnel) and by
+                                 the single core running loader + dispatch;
+                                 on a TPU-VM (PCIe/DMA, ~100 cores) it
+                                 approaches min(loader, device)
   host_cpus                      cores available to the loader (this box
                                  has 1; TPU-VMs have ~100+)
 
@@ -217,17 +222,26 @@ def bench_loader():
 
 
 def bench_e2e_train(state, step):
+    from videoyolo_tpu.data.prefetch import device_prefetch
+
     loader = _loader()
     batches = list(loader)  # pre-warm host caches; timing uses a fresh epoch
     dev = {k: jnp.asarray(v) for k, v in batches[0].items() if k != "label"}
     state, m = step(state, dev)
     jax.device_get(m["total"])  # compile the uint8+color variant
+
+    def _stage(b):
+        return {
+            k: jax.device_put(v)
+            for k, v in b.items()
+            if k in ("image", "gt_boxes", "gt_ids", "color")
+        }
+
     t0 = time.perf_counter()
     n = 0
-    for b in loader:
-        dev = {k: v for k, v in b.items() if k in ("image", "gt_boxes", "gt_ids", "color")}
+    for dev in device_prefetch(iter(loader), size=2, transfer=_stage):
         state, m = step(state, dev)
-        n += b["image"].shape[0]
+        n += dev["image"].shape[0]
     jax.device_get(m["total"])
     return n / (time.perf_counter() - t0)
 

@@ -328,7 +328,10 @@ def detect(model, variables, dataset, loader, max_do=-1):
     if max_do < 0:
         max_do = len(dataset)
     done = 0
-    for batch in loader:
+    # overlap the host->device image copy with the device step
+    from videoyolo_tpu.data.prefetch import device_prefetch
+
+    for batch in device_prefetch(iter(loader), size=2, keys=("image",)):
         ids, sc, bb = [np.asarray(x) for x in step(batch["image"])]
         for i in range(ids.shape[0]):
             if done >= max_do:

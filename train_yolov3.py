@@ -467,7 +467,25 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
         seen = 0
         profiling = False
         with mesh:
-            for i, batch in enumerate(train_loader):
+            def _stage(batch):
+                # single-host: sharded device_put; multi-host pods: each
+                # process contributes its local slice of the global batch
+                dev = {
+                    k: v
+                    for k, v in batch.items()
+                    if k in ("image", "features", "gt_boxes", "gt_ids", "gt_mix", "color")
+                }
+                return put_global_batch(dev, mesh), batch["label"].shape[0]
+
+            # keep 2 batches in flight on the device: the host->device copy
+            # overlaps both the device step and the host pipeline
+            # (data/prefetch.py; reference got this from split_and_load +
+            # MXNet's async engine, train_yolov3.py:596-606)
+            from videoyolo_tpu.data.prefetch import device_prefetch
+
+            for i, (dev_batch, batch_n) in enumerate(
+                device_prefetch(iter(train_loader), size=2, transfer=_stage)
+            ):
                 if FLAGS.profile_dir and epoch == start_epoch:
                     if i == min(10, len(train_loader) - 1):
                         jax.profiler.start_trace(FLAGS.profile_dir)
@@ -476,20 +494,12 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
                         jax.profiler.stop_trace()
                         profiling = False
                         logging.info("Wrote device profile to %s", FLAGS.profile_dir)
-                dev_batch = {
-                    k: v
-                    for k, v in batch.items()
-                    if k in ("image", "features", "gt_boxes", "gt_ids", "gt_mix", "color")
-                }
-                # single-host: sharded device_put; multi-host pods: each
-                # process contributes its local slice of the global batch
-                dev_batch = put_global_batch(dev_batch, mesh)
                 state, metrics = train_step(state, dev_batch)
-                seen += batch["label"].shape[0]
+                seen += batch_n
                 global_step += 1
                 if FLAGS.log_interval and (i + 1) % FLAGS.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    rate = FLAGS.log_interval * batch["label"].shape[0] / (time.time() - btic)
+                    rate = FLAGS.log_interval * batch_n / (time.time() - btic)
                     logging.info(
                         "[Epoch %d][Batch %d], LR: %.2E, Speed: %.3f samples/sec, "
                         "ObjLoss=%.3f, BoxCenterLoss=%.3f, BoxScaleLoss=%.3f, ClassLoss=%.3f",
