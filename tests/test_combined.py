@@ -159,3 +159,168 @@ def test_youtubebb_from_csv(tmp_path):
     )
     wins = dsw._windows
     assert all(len(w) == 3 for w in wins.values())
+
+
+def _mini_voc(root):
+    import cv2
+
+    rng = np.random.RandomState(0)
+    vroot = root / "VOCdevkit" / "VOC2007"
+    (vroot / "ImageSets" / "Main").mkdir(parents=True)
+    (vroot / "Annotations").mkdir()
+    (vroot / "JPEGImages").mkdir()
+    names = []
+    for i in range(2):
+        name = f"{i:06d}"
+        names.append(name)
+        cv2.imwrite(
+            str(vroot / "JPEGImages" / f"{name}.jpg"),
+            rng.randint(0, 255, (120, 160, 3), np.uint8),
+        )
+        (vroot / "Annotations" / f"{name}.xml").write_text(
+            """<annotation><size><width>160</width><height>120</height></size>
+<object><name>dog</name><difficult>0</difficult>
+<bndbox><xmin>10</xmin><ymin>10</ymin><xmax>80</xmax><ymax>90</ymax></bndbox>
+</object></annotation>"""
+        )
+    (vroot / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(names))
+    from videoyolo_tpu.data.pascalvoc import VOCDetection
+
+    return VOCDetection(root=str(root / "VOCdevkit"), splits=[(2007, "trainval")])
+
+
+def _mini_coco(root):
+    import cv2
+    import json
+
+    from videoyolo_tpu.data.base import load_names
+    from videoyolo_tpu.data.mscoco import COCODetection
+
+    (root / "annotations").mkdir(parents=True)
+    (root / "images" / "train2017").mkdir(parents=True)
+    cats = [{"id": i + 1, "name": n} for i, n in enumerate(load_names("coco"))]
+    imgs, anns = [], []
+    for i in range(2):
+        fname = f"{i:012d}.jpg"
+        cv2.imwrite(
+            str(root / "images" / "train2017" / fname),
+            np.zeros((100, 140, 3), np.uint8),
+        )
+        imgs.append(
+            {
+                "id": i + 1,
+                "width": 140,
+                "height": 100,
+                "file_name": fname,
+                "coco_url": f"http://images.cocodataset.org/train2017/{fname}",
+            }
+        )
+        anns.append(
+            {
+                "id": i + 1,
+                "image_id": i + 1,
+                "category_id": 1,  # person
+                "bbox": [5, 5, 60, 70],
+                "area": 4200,
+                "iscrowd": 0,
+            }
+        )
+    (root / "annotations" / "instances_train2017.json").write_text(
+        json.dumps({"images": imgs, "categories": cats, "annotations": anns})
+    )
+    return COCODetection(root=str(root), splits=["instances_train2017"])
+
+
+def _mini_det(root):
+    import cv2
+
+    from videoyolo_tpu.data.base import load_names
+    from videoyolo_tpu.data.imgnetdet import ImageNetDetection
+
+    wn = load_names("imagenetdet_wn")
+    r = root / "ILSVRC"
+    (r / "ImageSets" / "DET").mkdir(parents=True)
+    (r / "Annotations" / "DET" / "train").mkdir(parents=True)
+    (r / "Data" / "DET" / "train").mkdir(parents=True)
+    ids = []
+    for i in range(2):
+        name = f"img_{i}"
+        ids.append(name)
+        cv2.imwrite(
+            str(r / "Data" / "DET" / "train" / f"{name}.JPEG"),
+            np.zeros((90, 110, 3), np.uint8),
+        )
+        (r / "Annotations" / "DET" / "train" / f"{name}.xml").write_text(
+            f"<annotation><size><width>110</width><height>90</height></size>"
+            f"<object><name>{wn[3]}</name><bndbox><xmin>4</xmin><ymin>4</ymin>"
+            f"<xmax>60</xmax><ymax>60</ymax></bndbox></object></annotation>"
+        )
+    (r / "ImageSets" / "DET" / "train.txt").write_text(
+        "\n".join(f"{n} {i + 1}" for i, n in enumerate(ids))
+    )
+    return ImageNetDetection(root=str(r), splits=["train"])
+
+
+def _mini_vid(root):
+    import cv2
+
+    from videoyolo_tpu.data.base import load_names
+    from videoyolo_tpu.data.imgnetvid import ImageNetVidDetection
+
+    wn = load_names("imagenetvid_wn")
+    r = root / "ILSVRC_VID"
+    (r / "ImageSets" / "VID").mkdir(parents=True)
+    clip = "ILSVRC2017_train_00000000"
+    (r / "Data" / "VID" / "train" / clip).mkdir(parents=True)
+    (r / "Annotations" / "VID" / "train" / clip).mkdir(parents=True)
+    lines = []
+    for f in range(4):
+        fname = f"{f:06d}"
+        cv2.imwrite(
+            str(r / "Data" / "VID" / "train" / clip / f"{fname}.JPEG"),
+            np.zeros((80, 100, 3), np.uint8),
+        )
+        (r / "Annotations" / "VID" / "train" / clip / f"{fname}.xml").write_text(
+            f"""<annotation><size><width>100</width><height>80</height></size>
+<object><name>{wn[0]}</name><trackid>0</trackid>
+<bndbox><xmax>70</xmax><xmin>10</xmin><ymax>60</ymax><ymin>10</ymin></bndbox>
+</object></annotation>"""
+        )
+        lines.append(f"{clip}/{fname} {f + 1}")
+    (r / "ImageSets" / "VID" / "train.txt").write_text("\n".join(lines))
+    return ImageNetVidDetection(root=str(r), splits=[(2017, "train")])
+
+
+def test_combined_real_four_datasets(tmp_path):
+    """The train CLI's --dataset voc,coco,det,vid path over REAL dataset
+    classes on synthetic disk layouts (reference CombinedDetection over the
+    actual subsets, combined.py:16-98 + train_yolov3.py:227-229): one class
+    tree, multi-hot ancestor labels, loader collate."""
+    from videoyolo_tpu.data.loader import collate_detection
+
+    voc = _mini_voc(tmp_path / "voc")
+    coco = _mini_coco(tmp_path / "MSCoco")
+    det = _mini_det(tmp_path / "det")
+    vid = _mini_vid(tmp_path / "vid")
+    comb = CombinedDetection([voc, coco, det, vid], class_tree=True)
+
+    assert len(comb) == len(voc) + len(coco) + len(det) + len(vid)
+    assert len(comb.classes) == 285
+
+    dog = comb.wn_classes.index("n02084071")  # VOC 'dog' leaf
+    person = comb.wn_classes.index("n00007846")  # COCO 'person'
+    offsets = np.cumsum([0, len(voc), len(coco), len(det)])
+    hots = []
+    for off in offsets:
+        img, label = comb[int(off)]
+        assert img.ndim == 3 and label.shape[1] == 4 + 285
+        hots.append(set(np.where(label[0, 4:] == 1)[0]))
+    assert dog in hots[0]
+    assert person in hots[1]
+
+    # loader collate for the multi-hot tree labels (same-size images — the
+    # train path resizes via the transform before collate)
+    samples = [comb[0], comb[1]]
+    batch = collate_detection(samples, max_boxes=8, multihot=285)
+    assert batch["gt_ids"].shape == (2, 8, 285)
+    assert batch["gt_boxes"].shape == (2, 8, 4)

@@ -45,14 +45,13 @@ def _pack_ndarray_v2(arr: np.ndarray, magic=0xF993FAC9) -> bytes:
 def _pack_container(entries) -> bytes:
     """mx.nd.save container: u64 magic 0x112, u64 reserved, u64 n, NDArrays,
     u64 m, m x (u64 len, name bytes)."""
-    out = struct.pack("<QQQ", 0x112, 0, len(entries))
-    for _, blob in entries:
-        out += blob
-    out += struct.pack("<Q", len(entries))
+    parts = [struct.pack("<QQQ", 0x112, 0, len(entries))]
+    parts += [blob for _, blob in entries]
+    parts.append(struct.pack("<Q", len(entries)))
     for name, _ in entries:
         b = name.encode()
-        out += struct.pack("<Q", len(b)) + b
-    return out
+        parts.append(struct.pack("<Q", len(b)) + b)
+    return b"".join(parts)
 
 
 def test_reader_parses_handwritten_v1_bytes(tmp_path):
@@ -220,7 +219,14 @@ def test_full_yolo3_gluon_roundtrip(tmp_path):
 
     model = YOLOv3(num_classes=20)
     x = np.zeros((1, 64, 64, 3), np.float32)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    # only the tree structure/shapes matter here: eval_shape skips the
+    # 62M-param RNG init (~2 min on this 1-core host)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes
+    )
     loaded = load_gluon_yolo3(dict(variables), str(src))
 
     # spot-check: deep tip conv kernel is the OIHW->HWIO transpose of the file

@@ -85,16 +85,27 @@ def test_quant_cell_is_eval_only():
         qcell.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)), train=True)
 
 
-def test_quantized_detector_tracks_f32():
+@pytest.fixture(scope="module")
+def full_model():
+    """One 62M-param init shared by the full-model tests (init is ~20s on
+    this 1-core host)."""
+    from videoyolo_tpu.models.yolo3 import YOLOv3
+
+    model = YOLOv3(num_classes=3)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def test_quantized_detector_tracks_f32(full_model):
     """Full YOLOv3: int8 variables from quantize_detector_variables drive the
     quant=True model; scores stay highly correlated with f32."""
     from videoyolo_tpu.models.yolo3 import YOLOv3
 
-    model = YOLOv3(num_classes=3)
+    model, variables = full_model
     qmodel = YOLOv3(num_classes=3, quant=True)
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.rand(2, 96, 96, 3).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
     qvars = quantize_detector_variables(variables)
 
     boxes, scores = model.apply(variables, x, train=False)
@@ -109,18 +120,17 @@ def test_quantized_detector_tracks_f32():
     assert box_err < 0.05, box_err
 
 
-def test_static_calibrated_matches_dynamic():
+def test_static_calibrated_matches_dynamic(full_model):
     """Calibrated static-scale int8 tracks f32 as well as the dynamic mode on
     the calibration distribution."""
     from videoyolo_tpu.models.yolo3 import YOLOv3
     from videoyolo_tpu.ops.quantize import calibrate_detector_variables
 
-    model = YOLOv3(num_classes=3)
+    model, variables = full_model
     qdyn = YOLOv3(num_classes=3, quant=True)
     qstat = YOLOv3(num_classes=3, quant="static")
     rs = np.random.RandomState(2)
     x = jnp.asarray(rs.rand(2, 96, 96, 3).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
     qvars = quantize_detector_variables(variables)
     qvars_static = calibrate_detector_variables(qdyn, qvars, [x])
 
@@ -135,17 +145,15 @@ def test_static_calibrated_matches_dynamic():
     assert np.isfinite(np.asarray(sboxes)).all()
 
 
-def test_detect_cli_quantize_for_serving_wiring():
+def test_detect_cli_quantize_for_serving_wiring(full_model):
     """detect_yolo3 --quantize: converts + calibrates off loader batches and
     returns a runnable static-quant model."""
     import detect_yolo3 as cli
-    from videoyolo_tpu.models.yolo3 import YOLOv3
 
     cli.FLAGS(["t", "--quantize=int8"])
-    model = YOLOv3(num_classes=3)
+    model, variables = full_model
     rs = np.random.RandomState(5)
     x = jnp.asarray(rs.rand(2, 96, 96, 3).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
     qmodel, qvars = cli.quantize_for_serving(model, variables, [{"image": x}])
     assert qmodel.quant == "static"
