@@ -270,9 +270,9 @@ def quantize_for_serving(model, variables, loader):
         quantize_detector_variables,
     )
 
-    assert type(model) is YOLOv3 and not model.s2d_stem, (
-        "--quantize supports the plain yolo3_darknet53 model (no temporal "
-        "variants, no --s2d_stem)"
+    assert type(model) is YOLOv3, (
+        "--quantize supports the (plain or --s2d_stem) yolo3_darknet53 "
+        "model, not the temporal variants"
     )
     qvars = quantize_detector_variables(variables)
     qdyn = dataclasses.replace(model, quant=True)

@@ -165,3 +165,22 @@ def test_detect_cli_quantize_for_serving_wiring(full_model):
     qmodel2, qvars2 = cli.quantize_for_serving(model, variables, [{"image": x}])
     assert qmodel2.quant is True
     assert "xscale" not in qvars2["params"]["backbone"]["conv0"]
+
+
+def test_quantized_s2d_stem_tracks_f32():
+    """int8 + space-to-depth stem: the phase-pooled stem BN folds with tiled
+    per-channel scales; the quant model needs no phase reshape."""
+    from videoyolo_tpu.models.yolo3 import YOLOv3
+
+    model = YOLOv3(num_classes=3, s2d_stem=True)
+    qmodel = YOLOv3(num_classes=3, s2d_stem=True, quant=True)
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.rand(1, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    qvars = quantize_detector_variables(variables)
+    assert qvars["params"]["backbone"]["conv0"]["qkernel"].shape == (3, 3, 12, 128)
+
+    boxes, scores = model.apply(variables, x, train=False)
+    qboxes, qscores = qmodel.apply(qvars, x, train=False)
+    corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(qscores).ravel())[0, 1]
+    assert corr > 0.99, corr

@@ -48,10 +48,22 @@ class ConvBNLeakyS2D(nn.Module):
     (models/s2d.py)."""
 
     features: int  # ORIGINAL stem channels (32); conv emits 4x that
+    quant: Any = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.quant:
+            # BN (pooled over the 4 phases) folds into the 4C conv with
+            # tiled per-channel scales (ops/quantize.fold_bn_cell), so the
+            # int8 path needs no phase reshape at all
+            assert not train
+            from .layers import quant_conv_cell
+
+            return quant_conv_cell(
+                self, x, 3, 1, [(1, 1), (1, 1)], 4 * self.features,
+                static=self.quant == "static", dtype=self.dtype,
+            )
         x = nn.Conv(
             4 * self.features, (3, 3), padding=[(1, 1), (1, 1)],
             use_bias=False, dtype=self.dtype,
@@ -128,11 +140,12 @@ class Darknet53(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        assert not (self.quant and self.s2d_stem), "quant + s2d_stem unsupported"
         # stage1: conv0 + groups up to and including the 256-ch / 8-block group
         if self.s2d_stem:
             x = space_to_depth(x)
-            x = ConvBNLeakyS2D(self.channels[0], name="conv0", dtype=self.dtype)(x, train)
+            x = ConvBNLeakyS2D(
+                self.channels[0], name="conv0", quant=self.quant, dtype=self.dtype
+            )(x, train)
         else:
             x = ConvBNLeaky(
                 self.channels[0], kernel=3, stride=1, name="conv0",

@@ -117,34 +117,45 @@ class ConvBNLeaky(nn.Module):
         return leaky(x)
 
     def _quant_call(self, x, pad):
-        cin = x.shape[-1]
-        shape = (self.kernel, self.kernel, cin, self.features)
-        qkernel = self.param("qkernel", nn.initializers.zeros, shape, jnp.int8)
-        wscale = self.param("wscale", nn.initializers.ones, (self.features,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-
-        xf = x.astype(jnp.float32)
-        if self.quant == "static":
-            s_x = self.param("xscale", nn.initializers.ones, (), jnp.float32)
-        else:
-            # dynamic symmetric per-image activation scale; sow the batch
-            # amax so a calibration pass can derive the static xscale
-            amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
-            self.sow("quant_calib", "amax", jnp.max(amax))
-            s_x = jnp.maximum(amax / 127.0, 1e-12)
-        q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
-        dn = jax.lax.conv_dimension_numbers(q.shape, shape, ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            q,
-            qkernel,
-            (self.stride, self.stride),
-            pad,
-            dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
+        return quant_conv_cell(
+            self, x, self.kernel, self.stride, pad, self.features,
+            static=self.quant == "static", dtype=self.dtype,
         )
-        yf = y.astype(jnp.float32) * (s_x * wscale) + bias
-        out = leaky(yf)
-        return out.astype(self.dtype) if self.dtype is not None else out
+
+
+def quant_conv_cell(module, x, kernel, stride, pad, features, static, dtype):
+    """Shared int8 cell body (ConvBNLeaky quant mode + the s2d stem cell):
+    quantise activations, int8 conv with int32 accumulation, dequant +
+    folded-BN bias + leaky.  Params live on `module`'s own scope, matching
+    what ops/quantize.quantize_detector_variables produces."""
+    cin = x.shape[-1]
+    shape = (kernel, kernel, cin, features)
+    qkernel = module.param("qkernel", nn.initializers.zeros, shape, jnp.int8)
+    wscale = module.param("wscale", nn.initializers.ones, (features,), jnp.float32)
+    bias = module.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    if static:
+        s_x = module.param("xscale", nn.initializers.ones, (), jnp.float32)
+    else:
+        # dynamic symmetric per-image activation scale; sow the batch
+        # amax so a calibration pass can derive the static xscale
+        amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+        module.sow("quant_calib", "amax", jnp.max(amax))
+        s_x = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(q.shape, shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        q,
+        qkernel,
+        (stride, stride),
+        pad,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    yf = y.astype(jnp.float32) * (s_x * wscale) + bias
+    out = leaky(yf)
+    return out.astype(dtype) if dtype is not None else out
 
 
 class ConvBNLeaky3D(nn.Module):

@@ -33,13 +33,24 @@ __all__ = [
 
 def fold_bn_cell(kernel, gamma, beta, mean, var):
     """Fold BN (eps per models/layers.BN_EPS) into a conv kernel.
-    kernel: (Kh, Kw, Cin, Cout) HWIO.  Returns (kernel', bias')."""
+    kernel: (Kh, Kw, Cin, Cout) HWIO.  Returns (kernel', bias').
+
+    Handles the space-to-depth stem cell (darknet.ConvBNLeakyS2D), whose BN
+    pools statistics across the 4 spatial phases: its (C,) BN params fold
+    into the 4C-channel conv by tiling (output channel j = phase*C + c uses
+    BN channel c = j % C)."""
     kernel = np.asarray(kernel, np.float32)
     scale = np.asarray(gamma, np.float32) / np.sqrt(
         np.asarray(var, np.float32) + BN_EPS
     )
-    w = kernel * scale  # broadcasts over the trailing Cout axis
     b = np.asarray(beta, np.float32) - np.asarray(mean, np.float32) * scale
+    cout = kernel.shape[-1]
+    if scale.shape[0] != cout:
+        rep = cout // scale.shape[0]
+        assert scale.shape[0] * rep == cout, (scale.shape, kernel.shape)
+        scale = np.tile(scale, rep)
+        b = np.tile(b, rep)
+    w = kernel * scale  # broadcasts over the trailing Cout axis
     return w, b
 
 
