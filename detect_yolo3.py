@@ -58,6 +58,13 @@ flags.DEFINE_boolean(
 )
 flags.DEFINE_boolean("metric_agnostic", False, "make the metric class agnostic?")
 flags.DEFINE_list("gpus", [0], "Kept for reference CLI parity; devices come from JAX.")
+flags.DEFINE_string(
+    "export_model",
+    "",
+    "Write a portable serving artifact (StableHLO, weights baked in — "
+    "videoyolo_tpu/serving.py) to this path and exit instead of detecting; "
+    "composes with --quantize.",
+)
 flags.DEFINE_enum(
     "quantize",
     "",
@@ -720,6 +727,8 @@ def main(_argv):
     os.makedirs(save_dir, exist_ok=True)
 
     predictions = load_predictions(save_dir, dataset, FLAGS.max_do, FLAGS.model_agnostic)
+    if FLAGS.export_model:
+        predictions = None  # force the model-build path below
     if predictions is None:
         from videoyolo_tpu.data.transforms import YOLO3VideoInferenceTransform
 
@@ -749,6 +758,18 @@ def main(_argv):
         model, variables = get_net_and_params(len(classes))
         if FLAGS.quantize:
             model, variables = quantize_for_serving(model, variables, loader)
+        if FLAGS.export_model:
+            from videoyolo_tpu.serving import export_detector
+
+            export_detector(
+                model,
+                variables,
+                FLAGS.export_model,
+                batch_size=FLAGS.batch_size,
+                size=FLAGS.data_shape,
+            )
+            logging.info("Wrote serving artifact to %s", FLAGS.export_model)
+            return
         boxes = detect(model, variables, dataset, loader, FLAGS.max_do)
         save_predictions(save_dir, dataset, boxes, FLAGS.max_do, FLAGS.model_agnostic)
         dataset._transform = None

@@ -1,0 +1,77 @@
+"""Portable serving artifacts for the detector (jax.export / StableHLO).
+
+Production deployment path the reference lacked (its closest analog is
+hybridize + symbol export mentioned at yolo3.py:56-75 "export to symbol so
+we can run it in c++"): the full inference step — forward + decode +
+two-stage top-k + NMS — is traced once, serialized as a portable StableHLO
+artifact with the weights baked in, and can be reloaded and executed in any
+process with a compatible jax runtime (CPU/TPU) WITHOUT the model code or
+checkpoint files.
+
+    from videoyolo_tpu.serving import export_detector, load_detector
+    export_detector(model, variables, "det.stablehlo", batch_size=8)
+    serve = load_detector("det.stablehlo")
+    ids, scores, boxes = serve(images)   # (B,S,S,3) -> (B,100,...)
+
+Works for f32/bf16 and the int8 (`quant="static"`) variants alike —
+quantized weights and scales are constants in the artifact.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+__all__ = ["export_detector", "load_detector"]
+
+
+def export_detector(
+    model,
+    variables: Dict[str, Any],
+    path: str,
+    batch_size: int = 1,
+    size: int = 416,
+    input_dtype: Any = None,
+    nms_thresh: float = 0.45,
+    nms_topk: int = 400,
+    post_nms: int = 100,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> str:
+    """Trace model+postprocess at a fixed (batch_size, size) and write a
+    serialized StableHLO artifact with weights baked in.  Returns `path`.
+
+    `platforms` defaults to the current backend; pass e.g. ("tpu", "cpu")
+    for an artifact loadable on both."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.yolo3 import postprocess
+
+    dtype = input_dtype or jnp.float32
+
+    def fn(images):
+        boxes, scores = model.apply(variables, images, train=False)
+        return postprocess(
+            boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms
+        )
+
+    x = jax.ShapeDtypeStruct((batch_size, size, size, 3), dtype)
+    exported = jax.export.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None
+    )(x)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_detector(path: str) -> Callable:
+    """Load a serialized detector artifact -> callable(images) ->
+    (ids (B,P,1), scores (B,P,1), boxes (B,P,4))."""
+    import jax
+
+    with open(path, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+
+    def serve(images):
+        return jax.jit(exported.call)(images)
+
+    return serve
