@@ -16,6 +16,14 @@ tile is read into VMEM ONCE and all displacements are computed from VMEM:
 Used by `ops.correlation.correlation(..., use_pallas=True)` — the public op
 keeps identical semantics/normalisation to MXNet `F.Correlation`
 (reference flownet.py:204-205, layers.py:120-122).
+
+Measured on v5e under forced timing (distinct inputs + device_get): XLA's
+own tiling of the windowed-product fallback reaches the same throughput
+(d=20/stride-2 at B=16x26x26x256: 4.91 ms Pallas vs 4.98 ms XLA — round
+1's "~10x" figure was an async-dispatch measurement artifact).  The kernel
+is kept because its VMEM-residency bound on HBM traffic is explicit rather
+than at the scheduler's discretion, and it is bit-identical to the
+fallback (max |diff| 0.0 in the matched-config probe, tools/prof_temporal.py).
 """
 from __future__ import annotations
 
