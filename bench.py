@@ -57,6 +57,18 @@ TRAIN_BATCH = 48  # fastest measured train config (s2d stem, no remat)
 TRAIN_ITERS = 10
 
 
+def _time_detect_step(step, x):
+    """Warm, run ITERS, force with device_get; returns frames/sec."""
+    jax.block_until_ready(step(x))
+    for _ in range(WARMUP):
+        jax.block_until_ready(step(x))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(x)
+    jax.device_get(out[0])
+    return BATCH * ITERS / (time.perf_counter() - t0)
+
+
 def bench_detect():
     from videoyolo_tpu.models.yolo3 import YOLOv3, postprocess
 
@@ -71,48 +83,25 @@ def bench_detect():
         boxes, scores = model.apply(variables, images, train=False)
         return postprocess(boxes, scores)
 
-    jax.block_until_ready(step(x))
-    for _ in range(WARMUP):
-        jax.block_until_ready(step(x))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(x)
-    jax.device_get(out[0])
-    rate = BATCH * ITERS / (time.perf_counter() - t0)
+    rate = _time_detect_step(step, x)
     return rate, model, variables, x
 
 
 def bench_detect_int8(model, variables, x):
     """The --quantize int8 serving path: BN-folded per-channel int8 weights,
     static activation scales calibrated on the benchmark input."""
-    import dataclasses
-
     from videoyolo_tpu.models.yolo3 import postprocess
-    from videoyolo_tpu.ops.quantize import (
-        calibrate_detector_variables,
-        quantize_detector_variables,
-    )
+    from videoyolo_tpu.ops.quantize import quantize_static
 
-    qvars = quantize_detector_variables(variables)
     xq = x.astype(jnp.float32) + 0.5  # non-degenerate calibration stats
-    qvars = calibrate_detector_variables(
-        dataclasses.replace(model, quant=True), qvars, [xq[:8]]
-    )
-    qmodel = dataclasses.replace(model, quant="static")
+    qmodel, qvars = quantize_static(model, variables, [xq[:8]])
 
     @jax.jit
     def step(images):
         boxes, scores = qmodel.apply(qvars, images, train=False)
         return postprocess(boxes, scores)
 
-    jax.block_until_ready(step(x))
-    for _ in range(WARMUP):
-        jax.block_until_ready(step(x))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(x)
-    jax.device_get(out[0])
-    return BATCH * ITERS / (time.perf_counter() - t0)
+    return _time_detect_step(step, x)
 
 
 def _train_step_fn():

@@ -272,26 +272,21 @@ def quantize_for_serving(model, variables, loader):
     import itertools
 
     from videoyolo_tpu.models.yolo3 import YOLOv3
-    from videoyolo_tpu.ops.quantize import (
-        calibrate_detector_variables,
-        quantize_detector_variables,
-    )
+    from videoyolo_tpu.ops.quantize import quantize_detector_variables, quantize_static
 
     assert type(model) is YOLOv3, (
         "--quantize supports the (plain or --s2d_stem) yolo3_darknet53 "
         "model, not the temporal variants"
     )
-    qvars = quantize_detector_variables(variables)
-    qdyn = dataclasses.replace(model, quant=True)
     if FLAGS.quantize == "int8_dynamic":
         logging.info("Quantized to int8 (dynamic activation scales)")
-        return qdyn, qvars
+        return dataclasses.replace(model, quant=True), quantize_detector_variables(variables)
     calib = [b["image"] for b in itertools.islice(iter(loader), 2)]
-    qvars = calibrate_detector_variables(qdyn, qvars, calib)
+    qmodel, qvars = quantize_static(model, variables, calib)
     logging.info(
         "Quantized to int8 (static scales calibrated on %d batches)", len(calib)
     )
-    return dataclasses.replace(model, quant="static"), qvars
+    return qmodel, qvars
 
 
 def detect(model, variables, dataset, loader, max_do=-1):
@@ -726,9 +721,12 @@ def main(_argv):
     save_dir = os.path.join(FLAGS.save_dir, FLAGS.save_prefix)
     os.makedirs(save_dir, exist_ok=True)
 
-    predictions = load_predictions(save_dir, dataset, FLAGS.max_do, FLAGS.model_agnostic)
     if FLAGS.export_model:
-        predictions = None  # force the model-build path below
+        predictions = None  # force the model-build path; skip the cache scan
+    else:
+        predictions = load_predictions(
+            save_dir, dataset, FLAGS.max_do, FLAGS.model_agnostic
+        )
     if predictions is None:
         from videoyolo_tpu.data.transforms import YOLO3VideoInferenceTransform
 
@@ -759,8 +757,14 @@ def main(_argv):
         if FLAGS.quantize:
             model, variables = quantize_for_serving(model, variables, loader)
         if FLAGS.export_model:
+            from videoyolo_tpu.models.yolo3 import YOLOv3
             from videoyolo_tpu.serving import export_detector
 
+            assert type(model) is YOLOv3, (
+                "--export_model supports the yolo3_darknet53 single-frame "
+                "model (temporal/mult_out graphs need the T-folding step "
+                "detect() applies and are not exportable yet)"
+            )
             export_detector(
                 model,
                 variables,

@@ -44,3 +44,31 @@ def test_producer_error_propagates():
     next(it)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(it)
+
+
+def test_early_break_stops_producer():
+    """Breaking out of the consumer must terminate the producer thread and
+    stop draining the source iterator (review finding: --max_epoch_time /
+    max_do breaks leaked a blocked thread + staged batches per epoch)."""
+    import threading
+    import time
+
+    consumed = []
+
+    def src():
+        for i in range(1000):
+            consumed.append(i)
+            yield {"image": np.full((1,), i, np.float32)}
+
+    before = threading.active_count()
+    it = device_prefetch(src(), size=2)
+    next(it)
+    it.close()  # what a `break` triggers via GC
+    deadline = time.time() + 6
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    n = len(consumed)
+    time.sleep(0.2)
+    assert len(consumed) == n  # source no longer being drained
+    assert n < 20  # bounded in-flight, not the whole epoch

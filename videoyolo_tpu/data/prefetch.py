@@ -56,21 +56,45 @@ def device_prefetch(
             out[k] = jax.device_put(v, s) if s is not None else jax.device_put(v)
         return out
 
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that aborts when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if not _put(put(batch)):
+                    return  # consumer closed early — drop in-flight work
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer broke out early (or errored): unblock + stop the producer
+        # so staged device batches and the wrapped iterator are released
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)

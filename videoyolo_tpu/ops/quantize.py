@@ -28,6 +28,7 @@ __all__ = [
     "quantize_cell",
     "quantize_detector_variables",
     "calibrate_detector_variables",
+    "quantize_static",
 ]
 
 
@@ -82,7 +83,13 @@ def quantize_detector_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
         if hasattr(p, "items"):
             if "Conv_0" in p and "BatchNorm_0" in p:
                 bn_p = p["BatchNorm_0"]
-                bn_s = s["BatchNorm_0"] if hasattr(s, "items") and "BatchNorm_0" in s else {}
+                if not (hasattr(s, "items") and "BatchNorm_0" in s):
+                    raise ValueError(
+                        "quantize_detector_variables needs the batch_stats "
+                        "collection to fold BatchNorm (params-only trees "
+                        "cannot be quantized)"
+                    )
+                bn_s = s["BatchNorm_0"]
                 return quantize_cell(
                     p["Conv_0"]["kernel"],
                     bn_p["scale"],
@@ -97,6 +104,20 @@ def quantize_detector_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
         return p
 
     return {"params": walk(variables["params"], stats)}
+
+
+def quantize_static(model, variables, batches):
+    """The full static-int8 conversion recipe in one call:
+    f32 (model, variables) + calibration image batches ->
+    (quant='static' model, converted variables).  Used by the detect CLI
+    (--quantize int8), bench.py, and serving exports."""
+    import dataclasses
+
+    qvars = quantize_detector_variables(variables)
+    qvars = calibrate_detector_variables(
+        dataclasses.replace(model, quant=True), qvars, batches
+    )
+    return dataclasses.replace(model, quant="static"), qvars
 
 
 def calibrate_detector_variables(qmodel_dynamic, qvars, batches):

@@ -70,8 +70,4 @@ def load_detector(path: str) -> Callable:
 
     with open(path, "rb") as f:
         exported = jax.export.deserialize(f.read())
-
-    def serve(images):
-        return jax.jit(exported.call)(images)
-
-    return serve
+    return jax.jit(exported.call)
