@@ -144,14 +144,24 @@ def extract(save_dir, dataset, loader):
 
     os.makedirs(save_dir, exist_ok=True)
     n_dev = len(mesh.devices.flat)
-    for batch in loader:
+
+    def _stage(batch):
+        # pad the tail batch to a shardable multiple, shard, and ship —
+        # runs in the prefetch thread so transfers overlap the .npy writes
         imgs = batch["image"]
         n = imgs.shape[0]
-        pad = (-n) % n_dev  # pad the tail batch to a shardable multiple
+        pad = (-n) % n_dev
         if pad:
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
         with mesh:
             images = shard_batch({"image": imgs}, mesh)["image"]
+        return images, n, batch["idx"]
+
+    from videoyolo_tpu.data.prefetch import device_prefetch
+
+    for images, n, batch_idx in device_prefetch(iter(loader), size=2, transfer=_stage):
+        batch = {"idx": batch_idx}
+        with mesh:
             f1, f2, f3 = [np.asarray(f)[:n] for f in step(images)]
         for i in range(f1.shape[0]):
             idx = int(batch["idx"][i])

@@ -324,3 +324,19 @@ def test_combined_real_four_datasets(tmp_path):
     batch = collate_detection(samples, max_boxes=8, multihot=285)
     assert batch["gt_ids"].shape == (2, 8, 285)
     assert batch["gt_boxes"].shape == (2, 8, 4)
+
+
+def test_dataset_stats_tables(tmp_path):
+    """data/stats.py offline tables over real dataset classes
+    (reference datasets/stats.py:1-200)."""
+    from videoyolo_tpu.data.stats import combined_stats_table, dataset_stats
+
+    voc = _mini_voc(tmp_path / "voc")
+    det = _mini_det(tmp_path / "det")
+    s = dataset_stats(voc)
+    assert s["samples"] == 2 and s["boxes"] == 2
+    assert s["classes"] == 1  # only 'dog' present
+    table = combined_stats_table([voc, det])
+    assert isinstance(table, str) and "\t" in table
+    for st in (s, dataset_stats(det)):
+        assert st["nonempty"] == st["samples"]
