@@ -141,3 +141,50 @@ def test_select_topk_candidates_fewer_boxes_than_k():
     boxes = jnp.asarray(rs.uniform(0, 100, (b, n, 4)).astype(np.float32))
     out = select_topk_candidates(boxes, scores, topk=k)
     assert out.shape == (b, k, 6)
+
+
+def test_decode_predictions_matches_numpy_transcription():
+    """decode_predictions vs an independent numpy transcription of the
+    reference decode (yolo3.py:155-199): sigmoid centers + meshgrid offsets
+    times stride, exp scales times anchors, per-class sigmoid*conf scores,
+    corner boxes — eval and train branches."""
+    from videoyolo_tpu.models.yolo3 import decode_predictions
+
+    rs = np.random.RandomState(11)
+    B, H, W, C = 2, 5, 7, 4
+    anchors = ((10.0, 13.0), (16.0, 30.0), (33.0, 23.0))
+    A, P, stride = len(anchors), 5 + C, 16
+    raw = rs.randn(B, H, W, A * P).astype(np.float32)
+
+    boxes, scores, conf = decode_predictions(
+        jnp.asarray(raw), anchors, stride, C, train=False
+    )
+
+    # independent numpy version
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    p = raw.reshape(B, H * W, A, P)
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))  # gx varies fastest
+    offs = np.stack([gx, gy], -1).reshape(1, H * W, 1, 2)
+    centers = (sig(p[..., 0:2]) + offs) * stride
+    scales = np.exp(p[..., 2:4]) * np.asarray(anchors).reshape(1, 1, A, 2)
+    want_boxes = np.concatenate(
+        [centers - scales / 2, centers + scales / 2], -1
+    ).reshape(B, -1, 4)
+    want_conf = sig(p[..., 4:5]).reshape(B, -1, 1)
+    want_scores = (sig(p[..., 5:]) * sig(p[..., 4:5])).reshape(B, -1, C)
+
+    np.testing.assert_allclose(np.asarray(boxes), want_boxes, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores), want_scores, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(conf), want_conf, rtol=1e-5, atol=1e-6)
+
+    # train branch returns the raw heads at matching layouts
+    heads = decode_predictions(jnp.asarray(raw), anchors, stride, C, train=True)
+    np.testing.assert_allclose(
+        np.asarray(heads["bbox"]), want_boxes, rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(heads["raw_centers"]), p[..., 0:2].reshape(B, -1, 2), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(heads["class_pred"]), p[..., 5:].reshape(B, -1, C), rtol=1e-6
+    )
