@@ -272,12 +272,22 @@ def quantize_for_serving(model, variables, loader):
     import itertools
 
     from videoyolo_tpu.models.yolo3 import YOLOv3
+    from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
     from videoyolo_tpu.ops.quantize import quantize_detector_variables, quantize_static
 
-    assert type(model) is YOLOv3, (
-        "--quantize supports the (plain or --s2d_stem) yolo3_darknet53 "
-        "model, not the temporal variants"
-    )
+    if type(model) is YOLOv3T:
+        assert (
+            model.block_conv_type == "2"
+            and model.rnn_pos is None
+            and model.backbone is None
+        ), (
+            "--quantize on temporal models covers 2D-block non-RNN configs "
+            "with the built-in backbone (no 3D/2+1D blocks, no two-stream)"
+        )
+    else:
+        assert type(model) is YOLOv3, (
+            "--quantize supports yolo3_darknet53 and its 2D temporal variants"
+        )
     if FLAGS.quantize == "int8_dynamic":
         logging.info("Quantized to int8 (dynamic activation scales)")
         return dataclasses.replace(model, quant=True), quantize_detector_variables(variables)

@@ -184,3 +184,45 @@ def test_quantized_s2d_stem_tracks_f32():
     qboxes, qscores = qmodel.apply(qvars, x, train=False)
     corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(qscores).ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_quantized_temporal_k3_tracks_f32():
+    """int8 for the temporal family: YOLOv3T (k=3, late max join, 2D blocks)
+    converts with the same walk and tracks its f32 outputs."""
+    import dataclasses
+
+    from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
+    from videoyolo_tpu.ops.quantize import calibrate_detector_variables
+
+    model = YOLOv3T(num_classes=3, k=3, k_join_type="max", k_join_pos="late")
+    rs = np.random.RandomState(8)
+    x = jnp.asarray(rs.rand(1, 3, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    qvars = quantize_detector_variables(variables)
+    qdyn = dataclasses.replace(model, quant=True)
+
+    boxes, scores = model.apply(variables, x, train=False)
+    qboxes, qscores = qdyn.apply(qvars, x, train=False)
+    corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(qscores).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    # static calibration path
+    qvars_s = calibrate_detector_variables(qdyn, qvars, [x])
+    qstat = dataclasses.replace(model, quant="static")
+    sboxes, sscores = qstat.apply(qvars_s, x, train=False)
+    assert np.isfinite(np.asarray(sboxes)).all()
+    corr_s = np.corrcoef(np.asarray(scores).ravel(), np.asarray(sscores).ravel())[0, 1]
+    assert corr_s > 0.99, corr_s
+
+
+def test_quant_rejects_3d_blocks():
+    from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
+
+    model = YOLOv3T(
+        num_classes=3, k=3, k_join_type="max", k_join_pos="late",
+        block_conv_type="3", quant=True,
+    )
+    with pytest.raises(AssertionError):
+        model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64, 3)), train=False
+        )

@@ -174,14 +174,15 @@ class Darknet53Stage1(nn.Module):
     wrappers.py:58): conv0 + the 64/128/256-channel groups -> (B, H/8, W/8, 256).
     Used by temporal models that route stages separately (yolo3_temporal.py)."""
 
+    quant: Any = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNLeaky(32, kernel=3, stride=1, name="conv0", dtype=self.dtype)(x, train)
-        x = DarknetStage(64, 1, name="stage1", dtype=self.dtype)(x, train)
-        x = DarknetStage(128, 2, name="stage2", dtype=self.dtype)(x, train)
-        x = DarknetStage(256, 8, name="stage3", dtype=self.dtype)(x, train)
+        x = ConvBNLeaky(32, kernel=3, stride=1, name="conv0", quant=self.quant, dtype=self.dtype)(x, train)
+        x = DarknetStage(64, 1, name="stage1", quant=self.quant, dtype=self.dtype)(x, train)
+        x = DarknetStage(128, 2, name="stage2", quant=self.quant, dtype=self.dtype)(x, train)
+        x = DarknetStage(256, 8, name="stage3", quant=self.quant, dtype=self.dtype)(x, train)
         return x
 
 

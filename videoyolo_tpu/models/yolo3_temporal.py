@@ -70,12 +70,14 @@ class _TCell(nn.Module):
     features: int
     kernel: int
     conv_type: str  # '2' | '3' | '21'
+    quant: Any = False  # int8 serving (2D cells only; see YOLOv3T.quant)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.quant and self.conv_type != "2"), "int8 cells are 2D-only"
         if self.conv_type == "2":
-            cell = ConvBNLeaky(self.features, kernel=self.kernel, dtype=self.dtype)
+            cell = ConvBNLeaky(self.features, kernel=self.kernel, quant=self.quant, dtype=self.dtype)
             if x.ndim == 5:
                 return time_distributed(partial(cell, train=train), x)
             return cell(x, train)
@@ -97,6 +99,7 @@ class YOLODetectionBlockT(nn.Module):
     channel: int
     conv_type: str = "2"
     with_tip: bool = True
+    quant: Any = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -104,12 +107,12 @@ class YOLODetectionBlockT(nn.Module):
         assert self.channel % 2 == 0
         one = "3" if self.conv_type in ("3", "21") else "2"
         for _ in range(2):
-            x = _TCell(self.channel, 1, one, dtype=self.dtype)(x, train)
-            x = _TCell(self.channel * 2, 3, self.conv_type, dtype=self.dtype)(x, train)
-        route = _TCell(self.channel, 1, one, dtype=self.dtype)(x, train)
+            x = _TCell(self.channel, 1, one, quant=self.quant, dtype=self.dtype)(x, train)
+            x = _TCell(self.channel * 2, 3, self.conv_type, quant=self.quant, dtype=self.dtype)(x, train)
+        route = _TCell(self.channel, 1, one, quant=self.quant, dtype=self.dtype)(x, train)
         if not self.with_tip:
             return route
-        tip = _TCell(self.channel * 2, 3, self.conv_type, dtype=self.dtype)(route, train)
+        tip = _TCell(self.channel * 2, 3, self.conv_type, quant=self.quant, dtype=self.dtype)(route, train)
         return route, tip
 
 
@@ -181,10 +184,17 @@ class YOLOv3T(nn.Module):
     anchors: Any = DEFAULT_ANCHORS
     strides: Sequence[int] = DEFAULT_STRIDES
     channels: Sequence[int] = FPN_CHANNELS
+    # int8 serving (ops/quantize.py): 2D blocks, no RNN, built-in backbone
+    quant: Any = False
     dtype: Optional[Any] = None
 
     def _validate(self):
         # the reference's config asserts (yolo3.py:978-995)
+        if self.quant:
+            assert self.block_conv_type == "2" and self.rnn_pos is None, (
+                "int8 serving covers 2D-block, non-RNN temporal configs"
+            )
+            assert self.backbone is None, "custom backbones are not quant-threaded"
         assert self.rnn_pos in (None, "late", "out")
         assert self.k_join_type in (None, "max", "mean", "cat")
         assert self.k_join_pos in (None, "early", "late")
@@ -212,9 +222,9 @@ class YOLOv3T(nn.Module):
             routes = list(self.backbone(x, train))
         else:
             stages = [
-                Darknet53Stage1(name="stage1", dtype=self.dtype),
-                DarknetStage(512, 8, name="stage2", dtype=self.dtype),
-                DarknetStage(1024, 4, name="stage3", dtype=self.dtype),
+                Darknet53Stage1(name="stage1", quant=self.quant, dtype=self.dtype),
+                DarknetStage(512, 8, name="stage2", quant=self.quant, dtype=self.dtype),
+                DarknetStage(1024, 4, name="stage3", quant=self.quant, dtype=self.dtype),
             ]
             routes = []
             y = x
@@ -260,6 +270,7 @@ class YOLOv3T(nn.Module):
                     self.channels[i],
                     self.block_conv_type,
                     name=f"block{i}",
+                    quant=self.quant,
                     dtype=self.dtype,
                 )(y, train)
 
@@ -288,7 +299,8 @@ class YOLOv3T(nn.Module):
 
             if i < 2:
                 trans = ConvBNLeaky(
-                    self.channels[i + 1], kernel=1, name=f"transition{i}", dtype=self.dtype
+                    self.channels[i + 1], kernel=1, name=f"transition{i}",
+                    quant=self.quant, dtype=self.dtype,
                 )
                 if y.ndim == 5:
                     y = time_distributed(partial(trans, train=train), y)
