@@ -234,6 +234,7 @@ def bench_e2e_train(state, step):
         for dev in device_prefetch(iter(loader), size=2, transfer=_stage):
             state, m = step(state, dev)
             n += dev["image"].shape[0]
+        assert m is not None, "empty epoch: dataset smaller than TRAIN_BATCH"
         jax.device_get(m["total"])
         return n / (time.perf_counter() - t0)
 

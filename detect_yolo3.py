@@ -271,23 +271,13 @@ def quantize_for_serving(model, variables, loader):
     import dataclasses
     import itertools
 
-    from videoyolo_tpu.models.yolo3 import YOLOv3
-    from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
-    from videoyolo_tpu.ops.quantize import quantize_detector_variables, quantize_static
+    from videoyolo_tpu.ops.quantize import (
+        assert_quantizable,
+        quantize_detector_variables,
+        quantize_static,
+    )
 
-    if type(model) is YOLOv3T:
-        assert (
-            model.block_conv_type == "2"
-            and model.rnn_pos is None
-            and model.backbone is None
-        ), (
-            "--quantize on temporal models covers 2D-block non-RNN configs "
-            "with the built-in backbone (no 3D/2+1D blocks, no two-stream)"
-        )
-    else:
-        assert type(model) is YOLOv3, (
-            "--quantize supports yolo3_darknet53 and its 2D temporal variants"
-        )
+    assert_quantizable(model)
     if FLAGS.quantize == "int8_dynamic":
         logging.info("Quantized to int8 (dynamic activation scales)")
         return dataclasses.replace(model, quant=True), quantize_detector_variables(variables)

@@ -160,11 +160,10 @@ def extract(save_dir, dataset, loader):
     from videoyolo_tpu.data.prefetch import device_prefetch
 
     for images, n, batch_idx in device_prefetch(iter(loader), size=2, transfer=_stage):
-        batch = {"idx": batch_idx}
         with mesh:
             f1, f2, f3 = [np.asarray(f)[:n] for f in step(images)]
         for i in range(f1.shape[0]):
-            idx = int(batch["idx"][i])
+            idx = int(batch_idx[i])
             img_path = dataset.sample_path(idx)
             file_id = os.path.basename(img_path)[:-4]
             if FLAGS.dataset == "vid":

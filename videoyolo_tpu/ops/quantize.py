@@ -29,6 +29,7 @@ __all__ = [
     "quantize_detector_variables",
     "calibrate_detector_variables",
     "quantize_static",
+    "assert_quantizable",
 ]
 
 
@@ -104,6 +105,30 @@ def quantize_detector_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
         return p
 
     return {"params": walk(variables["params"], stats)}
+
+
+def assert_quantizable(model):
+    """One predicate for 'can this model take the int8 path' — shared by the
+    detect CLI and any future caller so eligibility can't drift from the
+    model-side asserts (YOLOv3T._validate)."""
+    from ..models.yolo3 import YOLOv3
+    from ..models.yolo3_temporal import YOLOv3T
+
+    if type(model) is YOLOv3:
+        return
+    if type(model) is YOLOv3T:
+        assert (
+            model.block_conv_type == "2"
+            and model.rnn_pos is None
+            and model.backbone is None
+        ), (
+            "int8 on temporal models covers 2D-block non-RNN configs with "
+            "the built-in backbone (no 3D/2+1D blocks, no two-stream)"
+        )
+        return
+    raise AssertionError(
+        "int8 serving supports yolo3_darknet53 and its 2D temporal variants"
+    )
 
 
 def quantize_static(model, variables, batches):
