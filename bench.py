@@ -93,8 +93,7 @@ def bench_detect_int8(model, variables, x):
     from videoyolo_tpu.models.yolo3 import postprocess
     from videoyolo_tpu.ops.quantize import quantize_static
 
-    xq = x.astype(jnp.float32) + 0.5  # non-degenerate calibration stats
-    qmodel, qvars = quantize_static(model, variables, [xq[:8]])
+    qmodel, qvars = quantize_static(model, variables, [x[:8].astype(jnp.float32)])
 
     @jax.jit
     def step(images):

@@ -68,10 +68,13 @@ flags.DEFINE_string(
 flags.DEFINE_enum(
     "quantize",
     "",
-    ["", "int8", "int8_dynamic"],
-    "int8 serving path (plain yolo3_darknet53 only): 'int8' calibrates "
-    "static activation scales on the first batches (fastest, ~1.4x bf16); "
-    "'int8_dynamic' needs no calibration (per-image scales).",
+    ["", "int8", "int8_static", "int8_dynamic"],
+    "int8 serving path (yolo3_darknet53 and its 2D-block non-RNN temporal "
+    "variants — see ops/quantize.assert_quantizable): 'int8' calibrates on "
+    "the first batches and uses the fastest eligible pipeline (fused "
+    "end-to-end for plain YOLOv3, static scales otherwise); 'int8_static' "
+    "forces per-cell static scales; 'int8_dynamic' needs no calibration "
+    "(per-image scales).",
 )
 flags.DEFINE_integer("num_workers", 8, "Data loading workers.")
 flags.DEFINE_boolean("new_model", False, "Use features Yolo (new) or stages Yolo (old)?")
@@ -265,15 +268,18 @@ def get_net_and_params(num_classes):
 
 def quantize_for_serving(model, variables, loader):
     """--quantize: convert the loaded f32 detector to the int8 serving path
-    (ops/quantize.py).  'int8' additionally calibrates static activation
-    scales on up to two loader batches — measured 1947 -> 2795 fps at
-    B=128/416/bf16 on one v5e chip."""
+    (ops/quantize.py).  'int8' picks the fastest eligible pipeline: the
+    fused int8-end-to-end path for plain YOLOv3 (activations stay int8
+    across cells/joins/concats), falling back to per-cell static scales for
+    the temporal family; 'int8_static'/'int8_dynamic' force those modes."""
     import dataclasses
     import itertools
 
+    from videoyolo_tpu.models.yolo3 import YOLOv3
     from videoyolo_tpu.ops.quantize import (
         assert_quantizable,
         quantize_detector_variables,
+        quantize_fused,
         quantize_static,
     )
 
@@ -282,6 +288,13 @@ def quantize_for_serving(model, variables, loader):
         logging.info("Quantized to int8 (dynamic activation scales)")
         return dataclasses.replace(model, quant=True), quantize_detector_variables(variables)
     calib = [b["image"] for b in itertools.islice(iter(loader), 2)]
+    if FLAGS.quantize == "int8" and type(model) is YOLOv3:
+        qmodel, qvars = quantize_fused(model, variables, calib)
+        logging.info(
+            "Quantized to int8 (fused end-to-end pipeline, %d calibration "
+            "batches)", len(calib)
+        )
+        return qmodel, qvars
     qmodel, qvars = quantize_static(model, variables, calib)
     logging.info(
         "Quantized to int8 (static scales calibrated on %d batches)", len(calib)

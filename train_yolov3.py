@@ -326,18 +326,13 @@ def get_dataloaders(train_dataset, val_dataset):
     return train_loader, val_loader
 
 
-def validate(model, state, val_loader, val_dataset, metric, eval_step=None):
+def validate(model, state, val_loader, val_dataset, metric, eval_step):
     """Reference validate() (:434-490): eval step on device, metric on host.
 
-    Pass a pre-jitted `eval_step` (train() builds it once per run): a fresh
-    jit closure per call would miss the jit cache and recompile the full
-    model at every validation epoch."""
-    import jax
-
-    from videoyolo_tpu.train.step import make_eval_step
-
-    if eval_step is None:
-        eval_step = jax.jit(make_eval_step(model))
+    `eval_step` is the pre-jitted step (train() builds it once per run via
+    `jax.jit(make_eval_step(model))`) and is required: a fresh jit closure
+    per call would miss the jit cache and recompile the full model at every
+    validation epoch, so there is deliberately no fallback path."""
     metric.reset()
     for batch in val_loader:
         x = tuple(batch["features"]) if "features" in batch else batch["image"]
@@ -466,6 +461,12 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
         btic = time.time()
         seen = 0
         profiling = False
+        # running-mean loss meters since epoch start, matching the
+        # reference's mx.metric.Loss semantics (train_yolov3.py:537-540,
+        # 647-650).  Accumulated as lazy device scalars so no step forces a
+        # host sync; converted to floats only at log time.
+        loss_sums = None
+        loss_count = 0
         with mesh:
             def _stage(batch):
                 # single-host: sharded device_put; multi-host pods: each
@@ -495,10 +496,16 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
                         profiling = False
                         logging.info("Wrote device profile to %s", FLAGS.profile_dir)
                 state, metrics = train_step(state, dev_batch)
+                loss_sums = (
+                    metrics
+                    if loss_sums is None
+                    else {k: loss_sums[k] + v for k, v in metrics.items()}
+                )
+                loss_count += 1
                 seen += batch_n
                 global_step += 1
                 if FLAGS.log_interval and (i + 1) % FLAGS.log_interval == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
+                    m = {k: float(v) / loss_count for k, v in loss_sums.items()}
                     rate = FLAGS.log_interval * batch_n / (time.time() - btic)
                     logging.info(
                         "[Epoch %d][Batch %d], LR: %.2E, Speed: %.3f samples/sec, "
