@@ -12,7 +12,6 @@ Capability parity with `/root/reference/metrics/imgnetvid.py`:
 """
 from __future__ import annotations
 
-import copy
 from typing import List, Optional
 
 import numpy as np
@@ -68,6 +67,21 @@ def parse_set(dataset, iou_thr=0.5, pixel_tolerance=10, offset=None):
     return res
 
 
+def _pairwise_overlap(det_boxes, gt_boxes):
+    """+1-convention IoU matrix (num_det, num_gt); vectorised form of the
+    reference's per-pair boxoverlap (imgnetvid.py:288-310)."""
+    if len(det_boxes) == 0 or len(gt_boxes) == 0:
+        return np.zeros((len(det_boxes), len(gt_boxes)))
+    d = det_boxes[:, None, :]
+    g = gt_boxes[None, :, :]
+    iw = np.minimum(d[..., 2], g[..., 2]) - np.maximum(d[..., 0], g[..., 0]) + 1
+    ih = np.minimum(d[..., 3], g[..., 3]) - np.maximum(d[..., 1], g[..., 1]) + 1
+    inter = np.where((iw > 0) & (ih > 0), iw * ih, 0.0)
+    area_d = (d[..., 2] - d[..., 0] + 1.0) * (d[..., 3] - d[..., 1] + 1.0)
+    area_g = (g[..., 2] - g[..., 0] + 1.0) * (g[..., 3] - g[..., 1] + 1.0)
+    return np.where(inter > 0, inter / (area_d + area_g - inter), 0.0)
+
+
 def vid_eval_motion(
     dataset,
     dt,
@@ -78,8 +92,18 @@ def vid_eval_motion(
     agnostic=False,
     offset=None,
 ):
-    """Motion-conditioned AP table (# motion, # area, # classes)
-    (metrics/imgnetvid.py:68-286)."""
+    """Motion-conditioned AP table (# motion, # area, # classes), protocol
+    parity with the FGFA eval (`/root/reference/metrics/imgnetvid.py:68-286`).
+
+    Re-engineered around one observation: the greedy det->gt matching does
+    not depend on the motion/area range at all (eligibility is IoU >= the
+    per-gt tolerance threshold + class match + availability), so it runs
+    ONCE per image instead of once per (motion, area) combination, and every
+    per-range pass is pure array arithmetic over flat det/gt/pair arrays —
+    no per-detection Python loops.  At val17 scale (~176k frames x 16 range
+    combos) this is the same vectorisation step the VOC matcher got
+    (metrics/pascalvoc.py); a differential test against a sequential oracle
+    locks the protocol (tests/test_vid.py)."""
     classname_map = dataset.wn_classes
     gt_img_ids = dataset.get_sample_ids()
     if isinstance(gt_img_ids[0], list):
@@ -93,161 +117,167 @@ def vid_eval_motion(
     img_ids = np.array([int(r[0]) for r in dt])
     obj_labels = np.array([int(r[1]) for r in dt])
     obj_confs = np.array([float(r[2]) for r in dt])
-    obj_bboxes = np.array([list(map(float, r[3:7] if len(r) > 4 else r[3])) for r in dt])
-
-    if obj_bboxes.shape[0] > 0:
-        order = np.argsort(img_ids)
-        img_ids, obj_labels = img_ids[order], obj_labels[order]
-        obj_confs, obj_bboxes = obj_confs[order], obj_bboxes[order]
-
-    num_imgs = max(max(gt_img_ids), img_ids.max() if len(img_ids) else 0) + 1
-    obj_labels_cell = [None] * num_imgs
-    obj_confs_cell = [None] * num_imgs
-    obj_bboxes_cell = [None] * num_imgs
-    # group detections per image, sorted by confidence desc
-    start_i = 0
-    if len(img_ids):
-        img_id = img_ids[0]
-        for i in range(len(img_ids)):
-            if i == len(img_ids) - 1 or img_ids[i + 1] != img_id:
-                conf = obj_confs[start_i : i + 1]
-                srt = np.argsort(-conf)
-                obj_labels_cell[img_id] = obj_labels[start_i : i + 1][srt]
-                obj_confs_cell[img_id] = conf[srt]
-                obj_bboxes_cell[img_id] = obj_bboxes[start_i : i + 1][srt]
-                if i < len(img_ids) - 1:
-                    img_id = img_ids[i + 1]
-                    start_i = i + 1
+    obj_bboxes = np.array(
+        [list(map(float, r[3:7] if len(r) > 4 else r[3])) for r in dt]
+    ).reshape(len(dt), 4) if len(dt) else np.zeros((0, 4))
     if agnostic:
-        obj_labels_cell = [c * 0 if c is not None else None for c in obj_labels_cell]
+        obj_labels = obj_labels * 0
 
-    # precompute det/gt overlaps per image
-    ov_all = [None] * num_imgs
-    npos = np.zeros(len(classname_map) if class_map is None else max(class_map) + 1)
-    for rec in recs:
+    # detections grouped per image, confidence-descending within the image
+    by_img = {}
+    if len(img_ids):
+        order = np.lexsort((-obj_confs, img_ids))
+        img_sorted = img_ids[order]
+        starts = np.flatnonzero(np.r_[True, img_sorted[1:] != img_sorted[:-1]])
+        for s, e in zip(starts, np.r_[starts[1:], len(img_sorted)]):
+            by_img[int(img_sorted[s])] = order[s:e]
+
+    motion_iou = dataset.motion_ious
+
+    # ---- one pass over images: filter gts, match greedily, emit flat arrays
+    n_cls = len(classname_map) if class_map is None else max(class_map) + 1
+    npos_bak = np.zeros(n_cls)
+    det_label_g, det_conf_g, det_area_g = [], [], []  # per image, recs order
+    det_match_g = []  # global gt index or -1
+    det_ngt_g, det_imgslot_g = [], []
+    gt_label_g, gt_area_g, gt_motion_g = [], [], []
+    pr_det_g, pr_gt_g, pr_ov_g = [], [], []  # flat (det, gt) pairs
+    img_ig_raw = []  # per image: raw motion array (for frac weights)
+    n_det = n_gt = 0
+    for slot, rec in enumerate(recs):
         img_id = rec["img_ids"]
-        gt_bboxes, gt_labels = rec["bbox"], rec["label"]
+        gt_bboxes, gt_thr, gt_labels = rec["bbox"], rec["thr"], rec["label"]
         if class_map is not None:
             gt_labels = np.array([class_map[int(l)] for l in gt_labels.flat])
             valid = np.where(gt_labels.flat >= 0)[0]
             gt_bboxes = gt_bboxes[valid, :]
+            gt_thr = gt_thr[valid]
             gt_labels = gt_labels.flat[valid].astype(int)
         if agnostic:
             gt_labels = gt_labels * 0
-        for x in gt_labels:
-            npos[x] += 1
-        labels = obj_labels_cell[img_id]
-        bboxes = obj_bboxes_cell[img_id]
-        num_obj = 0 if labels is None else len(labels)
-        ov_obj = [None] * num_obj
-        for j in range(num_obj):
-            ov_obj[j] = np.array(
-                [_overlap(bboxes[j], gt_bboxes[k]) for k in range(len(gt_labels))]
-            )
-        ov_all[img_id] = ov_obj
+        np.add.at(npos_bak, gt_labels, 1)
+        ng = len(gt_labels)
+        raw_motion = np.asarray(motion_iou[str(img_id)], dtype=float)
+        img_ig_raw.append(raw_motion)
 
-    motion_iou = dataset.motion_ious
+        didx = by_img.get(int(img_id), np.zeros(0, int))
+        nd = len(didx)
+        ov = _pairwise_overlap(obj_bboxes[didx], gt_bboxes)
+        # greedy claim: confidence order, best still-free gt above its
+        # tolerance threshold (first index on ties, like the scan's strict >)
+        elig = (ov >= gt_thr[None, :]) & (obj_labels[didx][:, None] == gt_labels[None, :])
+        match = np.full(nd, -1)
+        taken = np.zeros(ng, bool)
+        for j in range(nd):
+            cand = elig[j] & ~taken
+            if cand.any():
+                k = int(np.argmax(np.where(cand, ov[j], -1.0)))
+                match[j] = n_gt + k
+                taken[k] = True
+
+        b = obj_bboxes[didx]
+        det_label_g.append(obj_labels[didx])
+        det_conf_g.append(obj_confs[didx])
+        det_area_g.append((b[:, 3] - b[:, 1] + 1) * (b[:, 2] - b[:, 0] + 1) if nd else np.zeros(0))
+        det_match_g.append(match)
+        det_ngt_g.append(np.full(nd, ng))
+        det_imgslot_g.append(np.full(nd, slot))
+        gt_label_g.append(gt_labels)
+        gb = gt_bboxes
+        gt_area_g.append((gb[:, 3] - gb[:, 1] + 1) * (gb[:, 2] - gb[:, 0] + 1) if ng else np.zeros(0))
+        # the reference indexes the raw per-image motion array with the
+        # *filtered* gt index (imgnetvid.py:233-236); keep that contract
+        gt_motion_g.append(raw_motion[:ng])
+        if nd and ng:
+            dj, gk = np.meshgrid(np.arange(nd), np.arange(ng), indexing="ij")
+            pr_det_g.append(n_det + dj.ravel())
+            pr_gt_g.append(n_gt + gk.ravel())
+            pr_ov_g.append(ov.ravel())
+        n_det += nd
+        n_gt += ng
+
+    cat = lambda parts, dt_=float: (
+        np.concatenate(parts) if parts else np.zeros(0, dt_)
+    )
+    det_label = cat(det_label_g, int).astype(int)
+    det_conf = cat(det_conf_g)
+    det_area = cat(det_area_g)
+    det_match = cat(det_match_g, int).astype(int)
+    det_ngt = cat(det_ngt_g, int).astype(int)
+    det_imgslot = cat(det_imgslot_g, int).astype(int)
+    gt_label = cat(gt_label_g, int).astype(int)
+    gt_area = cat(gt_area_g)
+    gt_motion = cat(gt_motion_g)
+    pr_det = cat(pr_det_g, int).astype(int)
+    pr_gt = cat(pr_gt_g, int).astype(int)
+    pr_ov = cat(pr_ov_g)
+
+    if not recs:  # no evaluated images at all (reference: empty cells -> -1)
+        return np.full(
+            (len(motion_ranges), len(area_ranges), len(classname_map)), -1.0
+        )
+
+    all_motion = (
+        np.concatenate([np.asarray(motion_iou[str(k)], float) for k in gt_img_ids])
+        if gt_img_ids
+        else np.zeros(0)
+    )
+    matched = det_match >= 0
+    unmatched = ~matched
+
     ap = np.zeros((len(motion_ranges), len(area_ranges), len(classname_map)))
-    npos_bak = copy.deepcopy(npos)
+    for mi, (m_lo, m_hi) in enumerate(motion_ranges):
+        in_range = (all_motion >= m_lo) & (all_motion <= m_hi)
+        empty_weight = in_range.sum() / float(len(all_motion)) if len(all_motion) else 0.0
+        gt_ig_motion = (gt_motion < m_lo) | (gt_motion > m_hi)
+        # fractional-FP weight: ignored count over the RAW motion array,
+        # normalised by the filtered gt count (reference :258-266 semantics)
+        frac = np.array(
+            [
+                ((raw < m_lo) | (raw > m_hi)).sum() / float(ng) if ng else 0.0
+                for raw, ng in zip(img_ig_raw, [len(g) for g in gt_motion_g])
+            ]
+        ) if img_ig_raw else np.zeros(0)
+        # per-det best overlap against motion-ignored / non-ignored gts
+        ovmax_ig = np.full(n_det, -1.0)
+        ovmax_nig = np.full(n_det, -1.0)
+        if len(pr_det):
+            ig_pair = gt_ig_motion[pr_gt]
+            np.maximum.at(ovmax_ig, pr_det[ig_pair], pr_ov[ig_pair])
+            np.maximum.at(ovmax_nig, pr_det[~ig_pair], pr_ov[~ig_pair])
 
-    for mi, motion_range in enumerate(motion_ranges):
-        for ai, area_range in enumerate(area_ranges):
-            tp_cell = [None] * num_imgs
-            fp_cell = [None] * num_imgs
-            all_motion = np.concatenate([motion_iou[str(k)] for k in gt_img_ids])
-            in_range = (all_motion >= motion_range[0]) & (all_motion <= motion_range[1])
-            empty_weight = in_range.sum() / float(len(all_motion)) if len(all_motion) else 0.0
+        for ai, (a_lo, a_hi) in enumerate(area_ranges):
+            gt_ig_area = (gt_area < a_lo) | (gt_area > a_hi)
+            tp = np.zeros(n_det)
+            fp = np.zeros(n_det)
+            m = det_match[matched]
+            tp[matched] = (~gt_ig_motion[m] & ~gt_ig_area[m]).astype(float)
+            if unmatched.any():
+                nig, ig = ovmax_nig[unmatched], ovmax_ig[unmatched]
+                base = (nig > ig).astype(float)
+                eq = nig == ig
+                base[eq] = np.where(
+                    det_ngt[unmatched][eq] == 0,
+                    empty_weight,
+                    frac[det_imgslot[unmatched]][eq] if len(frac) else 0.0,
+                )
+                area_ok = (det_area[unmatched] >= a_lo) & (det_area[unmatched] <= a_hi)
+                fp[unmatched] = np.where(area_ok, base, 0.0)
 
-            for rec in recs:
-                img_id = rec["img_ids"]
-                gt_bboxes, gt_thr, gt_labels = rec["bbox"], rec["thr"], rec["label"]
-                if class_map is not None:
-                    gt_labels = np.array([class_map[int(l)] for l in gt_labels.flat])
-                    valid = np.where(gt_labels.flat >= 0)[0]
-                    gt_bboxes = gt_bboxes[valid, :]
-                    gt_thr = gt_thr[valid]
-                    gt_labels = gt_labels.flat[valid].astype(int)
-                if agnostic:
-                    gt_labels = gt_labels * 0
-                num_gt_obj = len(gt_labels)
-                gt_detected = np.zeros(num_gt_obj)
-
-                gt_motion = motion_iou[str(img_id)]
-                ig_motion = [
-                    (gt_motion[i] < motion_range[0]) | (gt_motion[i] > motion_range[1])
-                    for i in range(len(gt_motion))
-                ]
-                gt_area = [(x[3] - x[1] + 1) * (x[2] - x[0] + 1) for x in gt_bboxes]
-                ig_area = [(a < area_range[0]) | (a > area_range[1]) for a in gt_area]
-
-                labels = obj_labels_cell[img_id]
-                bboxes = obj_bboxes_cell[img_id]
-                num_obj = 0 if labels is None else len(labels)
-                tp = np.zeros(num_obj)
-                fp = np.zeros(num_obj)
-                for j in range(num_obj):
-                    bb = bboxes[j]
-                    ovmax = kmax = -1
-                    ovmax_ig = ovmax_nig = -1
-                    for k in range(num_gt_obj):
-                        ov = ov_all[img_id][j][k]
-                        if (
-                            (ov >= gt_thr[k])
-                            and (ov > ovmax)
-                            and (not gt_detected[k])
-                            and (labels[j] == gt_labels[k])
-                        ):
-                            ovmax, kmax = ov, k
-                        if ig_motion[k] and ov > ovmax_ig:
-                            ovmax_ig = ov
-                        if (not ig_motion[k]) and ov > ovmax_nig:
-                            ovmax_nig = ov
-                    if kmax >= 0:
-                        gt_detected[kmax] = 1
-                        if (not ig_motion[kmax]) and (not ig_area[kmax]):
-                            tp[j] = 1.0
-                    else:
-                        bb_area = (bb[3] - bb[1] + 1) * (bb[2] - bb[0] + 1)
-                        if (bb_area < area_range[0]) | (bb_area > area_range[1]):
-                            fp[j] = 0
-                            continue
-                        if ovmax_nig > ovmax_ig:
-                            fp[j] = 1
-                        elif ovmax_ig > ovmax_nig:
-                            fp[j] = 0
-                        elif num_gt_obj == 0:
-                            fp[j] = empty_weight
-                        else:
-                            fp[j] = sum(1 for x in ig_motion if x) / float(num_gt_obj)
-                tp_cell[img_id] = tp
-                fp_cell[img_id] = fp
-                for k in range(num_gt_obj):
-                    label = 0 if agnostic else gt_labels[k]
-                    if ig_motion[k] or ig_area[k]:
-                        npos[label] -= 1
-
+            npos = npos_bak.copy()
+            ig_any = gt_ig_motion | gt_ig_area
+            np.subtract.at(npos, gt_label[ig_any], 1)
             ap[mi][ai] = _calculate_ap(
-                tp_cell, fp_cell, gt_img_ids, obj_labels_cell, obj_confs_cell,
-                classname_map, npos, class_map,
+                tp, fp, det_label, det_conf, classname_map, npos, class_map
             )
-            npos = copy.deepcopy(npos_bak)
     return ap
 
 
-def _calculate_ap(tp_cell, fp_cell, gt_img_ids, obj_labels_cell, obj_confs_cell,
-                  classname_map, npos, class_map=None):
-    """Per-class AP from per-image tp/fp cells (imgnetvid.py:313-354)."""
-    cells = [
-        (tp_cell[i], fp_cell[i], obj_labels_cell[i], obj_confs_cell[i])
-        for i in gt_img_ids
-        if tp_cell[i] is not None
-    ]
-    if not cells:
-        return np.full(len(classname_map), -1.0)
-    tp_all = np.concatenate([c[0] for c in cells])
-    fp_all = np.concatenate([c[1] for c in cells])
-    obj_labels = np.concatenate([c[2] for c in cells])
-    confs = np.concatenate([c[3] for c in cells])
+def _calculate_ap(tp_all, fp_all, obj_labels, confs, classname_map, npos,
+                  class_map=None):
+    """Per-class AP from flat tp/fp arrays (protocol of imgnetvid.py:313-354,
+    fed directly from the vectorised per-range pass).  Zero detections with
+    gts present yields AP 0 (empty cumsums), matching the reference."""
     order = np.argsort(-confs)
     tp_all, fp_all, obj_labels = tp_all[order], fp_all[order], obj_labels[order]
     if class_map is None:
