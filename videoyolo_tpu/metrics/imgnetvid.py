@@ -35,11 +35,11 @@ def _overlap(bb, bbgt):
 
 
 def vid_ap(rec, prec):
-    """Integrated AP (metrics/imgnetvid.py:40-66)."""
+    """Integrated AP (protocol of metrics/imgnetvid.py:40-66): precision
+    envelope via a reversed running max, integrated over recall steps."""
     mrec = np.concatenate(([0.0], rec, [1.0]))
     mpre = np.concatenate(([0.0], prec, [0.0]))
-    for i in range(mpre.size - 1, 0, -1):
-        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+    mpre = np.maximum.accumulate(mpre[::-1])[::-1]
     i = np.where(mrec[1:] != mrec[:-1])[0]
     return np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1])
 
@@ -67,19 +67,19 @@ def parse_set(dataset, iou_thr=0.5, pixel_tolerance=10, offset=None):
     return res
 
 
-def _pairwise_overlap(det_boxes, gt_boxes):
-    """+1-convention IoU matrix (num_det, num_gt); vectorised form of the
-    reference's per-pair boxoverlap (imgnetvid.py:288-310)."""
-    if len(det_boxes) == 0 or len(gt_boxes) == 0:
-        return np.zeros((len(det_boxes), len(gt_boxes)))
-    d = det_boxes[:, None, :]
-    g = gt_boxes[None, :, :]
-    iw = np.minimum(d[..., 2], g[..., 2]) - np.maximum(d[..., 0], g[..., 0]) + 1
-    ih = np.minimum(d[..., 3], g[..., 3]) - np.maximum(d[..., 1], g[..., 1]) + 1
+def _pair_iou(a, b):
+    """Elementwise +1-convention IoU over aligned (N, 4) box arrays;
+    vectorised form of the reference's per-pair boxoverlap
+    (imgnetvid.py:288-310)."""
+    iw = np.minimum(a[:, 2], b[:, 2]) - np.maximum(a[:, 0], b[:, 0]) + 1
+    ih = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 1], b[:, 1]) + 1
     inter = np.where((iw > 0) & (ih > 0), iw * ih, 0.0)
-    area_d = (d[..., 2] - d[..., 0] + 1.0) * (d[..., 3] - d[..., 1] + 1.0)
-    area_g = (g[..., 2] - g[..., 0] + 1.0) * (g[..., 3] - g[..., 1] + 1.0)
-    return np.where(inter > 0, inter / (area_d + area_g - inter), 0.0)
+    area_a = (a[:, 2] - a[:, 0] + 1.0) * (a[:, 3] - a[:, 1] + 1.0)
+    area_b = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
+    out = np.zeros(len(a))
+    # inter > 0 implies both boxes are non-degenerate, so the union is >= 1
+    np.divide(inter, area_a + area_b - inter, out=out, where=inter > 0)
+    return out
 
 
 def vid_eval_motion(
@@ -123,107 +123,126 @@ def vid_eval_motion(
     if agnostic:
         obj_labels = obj_labels * 0
 
-    # detections grouped per image, confidence-descending within the image
-    by_img = {}
-    if len(img_ids):
-        order = np.lexsort((-obj_confs, img_ids))
-        img_sorted = img_ids[order]
-        starts = np.flatnonzero(np.r_[True, img_sorted[1:] != img_sorted[:-1]])
-        for s, e in zip(starts, np.r_[starts[1:], len(img_sorted)]):
-            by_img[int(img_sorted[s])] = order[s:e]
-
-    motion_iou = dataset.motion_ious
-
-    # ---- one pass over images: filter gts, match greedily, emit flat arrays
-    n_cls = len(classname_map) if class_map is None else max(class_map) + 1
-    npos_bak = np.zeros(n_cls)
-    det_label_g, det_conf_g, det_area_g = [], [], []  # per image, recs order
-    det_match_g = []  # global gt index or -1
-    det_ngt_g, det_imgslot_g = [], []
-    gt_label_g, gt_area_g, gt_motion_g = [], [], []
-    pr_det_g, pr_gt_g, pr_ov_g = [], [], []  # flat (det, gt) pairs
-    img_ig_raw = []  # per image: raw motion array (for frac weights)
-    n_det = n_gt = 0
-    for slot, rec in enumerate(recs):
-        img_id = rec["img_ids"]
-        gt_bboxes, gt_thr, gt_labels = rec["bbox"], rec["thr"], rec["label"]
-        if class_map is not None:
-            gt_labels = np.array([class_map[int(l)] for l in gt_labels.flat])
-            valid = np.where(gt_labels.flat >= 0)[0]
-            gt_bboxes = gt_bboxes[valid, :]
-            gt_thr = gt_thr[valid]
-            gt_labels = gt_labels.flat[valid].astype(int)
-        if agnostic:
-            gt_labels = gt_labels * 0
-        np.add.at(npos_bak, gt_labels, 1)
-        ng = len(gt_labels)
-        raw_motion = np.asarray(motion_iou[str(img_id)], dtype=float)
-        img_ig_raw.append(raw_motion)
-
-        didx = by_img.get(int(img_id), np.zeros(0, int))
-        nd = len(didx)
-        ov = _pairwise_overlap(obj_bboxes[didx], gt_bboxes)
-        # greedy claim: confidence order, best still-free gt above its
-        # tolerance threshold (first index on ties, like the scan's strict >)
-        elig = (ov >= gt_thr[None, :]) & (obj_labels[didx][:, None] == gt_labels[None, :])
-        match = np.full(nd, -1)
-        taken = np.zeros(ng, bool)
-        for j in range(nd):
-            cand = elig[j] & ~taken
-            if cand.any():
-                k = int(np.argmax(np.where(cand, ov[j], -1.0)))
-                match[j] = n_gt + k
-                taken[k] = True
-
-        b = obj_bboxes[didx]
-        det_label_g.append(obj_labels[didx])
-        det_conf_g.append(obj_confs[didx])
-        det_area_g.append((b[:, 3] - b[:, 1] + 1) * (b[:, 2] - b[:, 0] + 1) if nd else np.zeros(0))
-        det_match_g.append(match)
-        det_ngt_g.append(np.full(nd, ng))
-        det_imgslot_g.append(np.full(nd, slot))
-        gt_label_g.append(gt_labels)
-        gb = gt_bboxes
-        gt_area_g.append((gb[:, 3] - gb[:, 1] + 1) * (gb[:, 2] - gb[:, 0] + 1) if ng else np.zeros(0))
-        # the reference indexes the raw per-image motion array with the
-        # *filtered* gt index (imgnetvid.py:233-236); keep that contract
-        gt_motion_g.append(raw_motion[:ng])
-        if nd and ng:
-            dj, gk = np.meshgrid(np.arange(nd), np.arange(ng), indexing="ij")
-            pr_det_g.append(n_det + dj.ravel())
-            pr_gt_g.append(n_gt + gk.ravel())
-            pr_ov_g.append(ov.ravel())
-        n_det += nd
-        n_gt += ng
-
-    cat = lambda parts, dt_=float: (
-        np.concatenate(parts) if parts else np.zeros(0, dt_)
-    )
-    det_label = cat(det_label_g, int).astype(int)
-    det_conf = cat(det_conf_g)
-    det_area = cat(det_area_g)
-    det_match = cat(det_match_g, int).astype(int)
-    det_ngt = cat(det_ngt_g, int).astype(int)
-    det_imgslot = cat(det_imgslot_g, int).astype(int)
-    gt_label = cat(gt_label_g, int).astype(int)
-    gt_area = cat(gt_area_g)
-    gt_motion = cat(gt_motion_g)
-    pr_det = cat(pr_det_g, int).astype(int)
-    pr_gt = cat(pr_gt_g, int).astype(int)
-    pr_ov = cat(pr_ov_g)
-
     if not recs:  # no evaluated images at all (reference: empty cells -> -1)
         return np.full(
             (len(motion_ranges), len(area_ranges), len(classname_map)), -1.0
         )
 
-    all_motion = (
-        np.concatenate([np.asarray(motion_iou[str(k)], float) for k in gt_img_ids])
-        if gt_img_ids
+    motion_iou = dataset.motion_ious
+    n_img = len(recs)
+    n_cls = len(classname_map) if class_map is None else max(class_map) + 1
+
+    # ---- flat gt arrays, recs order (python touches lists-of-arrays only;
+    # all per-element work is vectorised)
+    gt_boxes_l = [rec["bbox"] for rec in recs]
+    gt_thr_l = [rec["thr"] for rec in recs]
+    gt_label_l = [rec["label"] for rec in recs]
+    if class_map is not None:
+        cm = np.asarray(class_map)
+        mapped = [cm[np.asarray(l, int).ravel()] for l in gt_label_l]
+        keeps = [m >= 0 for m in mapped]
+        gt_boxes_l = [b[k] for b, k in zip(gt_boxes_l, keeps)]
+        gt_thr_l = [t[k] for t, k in zip(gt_thr_l, keeps)]
+        gt_label_l = [m[k] for m, k in zip(mapped, keeps)]
+    ng_per_img = np.array([len(l) for l in gt_label_l], int)
+    n_gt = int(ng_per_img.sum())
+    gt_boxes = np.concatenate(gt_boxes_l) if n_gt else np.zeros((0, 4))
+    gt_thr = np.concatenate(gt_thr_l) if n_gt else np.zeros(0)
+    gt_label = (
+        np.concatenate(gt_label_l).astype(int) if n_gt else np.zeros(0, int)
+    )
+    if agnostic:
+        gt_label = gt_label * 0
+    gt_area = (
+        (gt_boxes[:, 3] - gt_boxes[:, 1] + 1) * (gt_boxes[:, 2] - gt_boxes[:, 0] + 1)
+        if n_gt
         else np.zeros(0)
     )
+    gstart = np.concatenate([[0], np.cumsum(ng_per_img)[:-1]]).astype(int)
+    npos_bak = np.bincount(gt_label, minlength=n_cls).astype(float)
+
+    raw_motion_l = [
+        np.asarray(motion_iou[str(rec["img_ids"])], float).ravel() for rec in recs
+    ]
+    raw_len = np.array([len(r) for r in raw_motion_l], int)
+    raw_motion_flat = np.concatenate(raw_motion_l) if raw_len.sum() else np.zeros(0)
+    raw_slot = np.repeat(np.arange(n_img), raw_len)
+    # the reference indexes the raw per-image motion array with the
+    # *filtered* gt index (imgnetvid.py:233-236); keep that contract
+    gt_motion = (
+        np.concatenate([r[:ng] for r, ng in zip(raw_motion_l, ng_per_img)])
+        if n_gt
+        else np.zeros(0)
+    )
+
+    # ---- flat det arrays sorted image-major, confidence-descending within
+    # the image (dets for images outside the eval set are dropped, as the
+    # reference's per-image cells do implicitly)
+    rec_ids = np.array([int(rec["img_ids"]) for rec in recs])
+    rid_order = np.argsort(rec_ids)
+    rid_sorted = rec_ids[rid_order]
+    pos = np.searchsorted(rid_sorted, img_ids) if len(img_ids) else np.zeros(0, int)
+    pos = np.clip(pos, 0, len(rid_sorted) - 1)
+    hit = rid_sorted[pos] == img_ids if len(img_ids) else np.zeros(0, bool)
+    det_slot_all = np.where(hit, rid_order[pos], -1)
+    keep = det_slot_all >= 0
+    order = (
+        np.lexsort((-obj_confs[keep], det_slot_all[keep])) if keep.any() else np.zeros(0, int)
+    )
+    det_slot = det_slot_all[keep][order]
+    det_label = obj_labels[keep][order].astype(int)
+    det_conf = obj_confs[keep][order]
+    det_bbox = obj_bboxes[keep][order]
+    n_det = len(det_slot)
+    det_area = (
+        (det_bbox[:, 3] - det_bbox[:, 1] + 1) * (det_bbox[:, 2] - det_bbox[:, 0] + 1)
+        if n_det
+        else np.zeros(0)
+    )
+    det_ngt = ng_per_img[det_slot] if n_det else np.zeros(0, int)
+    det_imgslot = det_slot
+
+    # ---- (det, gt) pairs within each image, built by repetition
+    ng_per_det = det_ngt
+    pr_det = np.repeat(np.arange(n_det), ng_per_det)
+    cum = np.concatenate([[0], np.cumsum(ng_per_det)]).astype(int)
+    within = np.arange(len(pr_det)) - cum[pr_det]
+    pr_gt = (gstart[det_slot[pr_det]] + within) if len(pr_det) else np.zeros(0, int)
+    pr_ov = (
+        _pair_iou(det_bbox[pr_det], gt_boxes[pr_gt]) if len(pr_det) else np.zeros(0)
+    )
+
+    # ---- greedy claim, once (the match is range-independent): walk the
+    # eligible pairs in (det, ov desc, gt asc) order — dets are already in
+    # confidence order within their image — claiming the first free gt;
+    # identical to the reference's per-det scan with its strict-> tie rule
+    elig = np.flatnonzero(
+        (pr_ov >= gt_thr[pr_gt]) & (det_label[pr_det] == gt_label[pr_gt])
+    ) if len(pr_det) else np.zeros(0, int)
+    eorder = np.lexsort((pr_gt[elig], -pr_ov[elig], pr_det[elig]))
+    det_match = np.full(n_det, -1)
+    taken = bytearray(n_gt)
+    dm = det_match.tolist()
+    for d, g in zip(pr_det[elig][eorder].tolist(), pr_gt[elig][eorder].tolist()):
+        if dm[d] < 0 and not taken[g]:
+            dm[d] = g
+            taken[g] = True
+    det_match = np.asarray(dm, int) if n_det else det_match
+
+    all_motion = raw_motion_flat
     matched = det_match >= 0
     unmatched = ~matched
+
+    # range-independent AP machinery, computed once: global confidence
+    # order and the per-class selections within it
+    conf_order = np.argsort(-det_conf)
+    lab_sorted = det_label[conf_order]
+    cls_ids = (
+        list(class_map)[: len(classname_map)]
+        if class_map is not None
+        else list(range(len(classname_map)))
+    )
+    cls_sel = [np.flatnonzero(lab_sorted == cid) for cid in cls_ids]
 
     ap = np.zeros((len(motion_ranges), len(area_ranges), len(classname_map)))
     for mi, (m_lo, m_hi) in enumerate(motion_ranges):
@@ -232,12 +251,12 @@ def vid_eval_motion(
         gt_ig_motion = (gt_motion < m_lo) | (gt_motion > m_hi)
         # fractional-FP weight: ignored count over the RAW motion array,
         # normalised by the filtered gt count (reference :258-266 semantics)
-        frac = np.array(
-            [
-                ((raw < m_lo) | (raw > m_hi)).sum() / float(ng) if ng else 0.0
-                for raw, ng in zip(img_ig_raw, [len(g) for g in gt_motion_g])
-            ]
-        ) if img_ig_raw else np.zeros(0)
+        ig_raw_cnt = np.bincount(
+            raw_slot,
+            weights=((raw_motion_flat < m_lo) | (raw_motion_flat > m_hi)).astype(float),
+            minlength=n_img,
+        )
+        frac = np.where(ng_per_img > 0, ig_raw_cnt / np.maximum(ng_per_img, 1), 0.0)
         # per-det best overlap against motion-ignored / non-ignored gts
         ovmax_ig = np.full(n_det, -1.0)
         ovmax_nig = np.full(n_det, -1.0)
@@ -268,30 +287,30 @@ def vid_eval_motion(
             ig_any = gt_ig_motion | gt_ig_area
             np.subtract.at(npos, gt_label[ig_any], 1)
             ap[mi][ai] = _calculate_ap(
-                tp, fp, det_label, det_conf, classname_map, npos, class_map
+                tp, fp, conf_order, cls_sel, cls_ids, npos
             )
     return ap
 
 
-def _calculate_ap(tp_all, fp_all, obj_labels, confs, classname_map, npos,
-                  class_map=None):
-    """Per-class AP from flat tp/fp arrays (protocol of imgnetvid.py:313-354,
-    fed directly from the vectorised per-range pass).  Zero detections with
-    gts present yields AP 0 (empty cumsums), matching the reference."""
-    order = np.argsort(-confs)
-    tp_all, fp_all, obj_labels = tp_all[order], fp_all[order], obj_labels[order]
-    if class_map is None:
-        class_map = list(range(len(classname_map)))
-    cur_ap = np.zeros(len(classname_map))
-    for c in range(len(classname_map)):
-        fp = np.cumsum(fp_all[obj_labels == class_map[c]])
-        tp = np.cumsum(tp_all[obj_labels == class_map[c]])
-        if npos[class_map[c]] <= 0:
+def _calculate_ap(tp_all, fp_all, conf_order, cls_sel, cls_ids, npos):
+    """Per-class AP from flat tp/fp arrays (protocol of imgnetvid.py:313-354).
+
+    The confidence ordering and the per-class selections are identical for
+    every (motion, area) range, so the caller precomputes them once
+    (`conf_order`, `cls_sel`: per-class indices into the sorted order;
+    `cls_ids`: the npos slot per class).  Zero detections with gts present
+    yields AP 0 (empty cumsums), matching the reference."""
+    tp_all, fp_all = tp_all[conf_order], fp_all[conf_order]
+    cur_ap = np.zeros(len(cls_sel))
+    for c, (sel, cid) in enumerate(zip(cls_sel, cls_ids)):
+        if npos[cid] <= 0:
             cur_ap[c] = -1
-        else:
-            rec = tp / npos[class_map[c]]
-            prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-            cur_ap[c] = vid_ap(rec, prec)
+            continue
+        tp = np.cumsum(tp_all[sel])
+        fp = np.cumsum(fp_all[sel])
+        rec = tp / npos[cid]
+        prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+        cur_ap[c] = vid_ap(rec, prec)
     return cur_ap
 
 
