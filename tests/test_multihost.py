@@ -66,3 +66,47 @@ def test_loader_sampler_and_len_override():
     ids1 = np.concatenate([b["label"][:, 0, 4] for b in e1])
     np.testing.assert_array_equal(ids0, np.arange(8) % 3)
     np.testing.assert_array_equal(ids1, np.arange(8)[::-1] % 3)
+
+
+def test_true_two_process_assembly():
+    """The REAL multi-process branch (multihost.py: make_array_from_
+    process_local_data): two jax.distributed-initialised CPU processes
+    assemble global batches in lockstep over a 2x2-device mesh and verify
+    per-epoch coverage through jitted global sums.  Single-process tests
+    cannot reach this branch — this one fails if it breaks."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    # the axon TPU plugin registers from sitecustomize at interpreter start
+    # (before the worker's own env mutations run) — strip its trigger here
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} DONE" in out, out
+        assert f"proc{i} epoch0 OK" in out and f"proc{i} epoch1 OK" in out, out
