@@ -146,8 +146,9 @@ def test_static_calibrated_matches_dynamic(full_model):
 
 
 def test_detect_cli_quantize_for_serving_wiring(full_model):
-    """detect_yolo3 --quantize: converts + calibrates off loader batches and
-    returns a runnable static-quant model."""
+    """detect_yolo3 --quantize: converts + calibrates off loader batches;
+    'int8' picks the fused end-to-end pipeline for plain YOLOv3,
+    'int8_static'/'int8_dynamic' force those modes."""
     import detect_yolo3 as cli
 
     cli.FLAGS(["t", "--quantize=int8"])
@@ -156,15 +157,51 @@ def test_detect_cli_quantize_for_serving_wiring(full_model):
     x = jnp.asarray(rs.rand(2, 96, 96, 3).astype(np.float32))
 
     qmodel, qvars = cli.quantize_for_serving(model, variables, [{"image": x}])
-    assert qmodel.quant == "static"
-    assert "xscale" in qvars["params"]["backbone"]["conv0"]
+    assert qmodel.quant == "fused"
+    assert "oscale" in qvars["params"]["backbone"]["conv0"]
     boxes, scores = qmodel.apply(qvars, x, train=False)
     assert np.isfinite(np.asarray(scores)).all()
+
+    cli.FLAGS(["t", "--quantize=int8_static"])
+    qmodel3, qvars3 = cli.quantize_for_serving(model, variables, [{"image": x}])
+    assert qmodel3.quant == "static"
+    assert "xscale" in qvars3["params"]["backbone"]["conv0"]
 
     cli.FLAGS(["t", "--quantize=int8_dynamic"])
     qmodel2, qvars2 = cli.quantize_for_serving(model, variables, [{"image": x}])
     assert qmodel2.quant is True
     assert "xscale" not in qvars2["params"]["backbone"]["conv0"]
+
+
+def test_fused_int8_matches_static(full_model):
+    """Golden gate for the fused pipeline: the int8-end-to-end model tracks
+    both f32 and the per-cell static path closely (same calibrated scales;
+    the only numerical divergence is the residual skip carrying quantised
+    instead of full-precision sums, bounded by half a quantum per join)."""
+    from videoyolo_tpu.ops.quantize import quantize_fused, quantize_static
+
+    model, variables = full_model
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.rand(2, 96, 96, 3).astype(np.float32))
+
+    smodel, svars = quantize_static(model, variables, [x])
+    fmodel, fvars = quantize_fused(model, variables, [x])
+    _, sscores = smodel.apply(svars, x, train=False)
+    _, fscores = fmodel.apply(fvars, x, train=False)
+    _, scores = model.apply(variables, x, train=False)
+    ss, fs, s = map(np.asarray, (sscores, fscores, scores))
+
+    assert np.corrcoef(s.ravel(), fs.ravel())[0, 1] > 0.99
+    assert np.corrcoef(ss.ravel(), fs.ravel())[0, 1] > 0.995
+    assert np.abs(ss - fs).max() < 0.05
+
+    # residual joins gained calibrated scales; only the (real-valued-input)
+    # stem carries xscale; tip cells stay real-valued (no oscale)
+    p = fvars["params"]
+    assert "xscale" in p["backbone"]["stage3"]["DarknetBasicBlock_0"]["QuantResidual_0"]
+    assert "xscale" in p["backbone"]["conv0"] and "oscale" in p["backbone"]["conv0"]
+    assert "oscale" not in p["block0"]["ConvBNLeaky_5"]
+    assert "xscale" not in p["block0"]["ConvBNLeaky_0"]  # int8-fed cell
 
 
 def test_quantized_s2d_stem_tracks_f32():
@@ -215,12 +252,48 @@ def test_quantized_temporal_k3_tracks_f32():
     assert corr_s > 0.99, corr_s
 
 
-def test_quant_rejects_3d_blocks():
+@pytest.mark.parametrize("conv_type", ["3", "21"])
+def test_quantized_temporal_3d_blocks_track_f32(conv_type):
+    """int8 for the 3D/2+1D temporal blocks: the conv3d quant cell + the
+    same conversion walk (5D kernels fold per output channel) keep the
+    quantised model tracking f32, dynamic and calibrated-static."""
+    import dataclasses
+
+    from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
+    from videoyolo_tpu.ops.quantize import (
+        calibrate_detector_variables,
+        quantize_detector_variables,
+    )
+
+    model = YOLOv3T(
+        num_classes=3, k=3, k_join_type="max", k_join_pos="late",
+        block_conv_type=conv_type,
+    )
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.rand(1, 3, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    qvars = quantize_detector_variables(variables)
+    qdyn = dataclasses.replace(model, quant=True)
+
+    boxes, scores = model.apply(variables, x, train=False)
+    qboxes, qscores = qdyn.apply(qvars, x, train=False)
+    corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(qscores).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    qvars_s = calibrate_detector_variables(qdyn, qvars, [x])
+    qstat = dataclasses.replace(model, quant="static")
+    sboxes, sscores = qstat.apply(qvars_s, x, train=False)
+    assert np.isfinite(np.asarray(sboxes)).all()
+    corr_s = np.corrcoef(np.asarray(scores).ravel(), np.asarray(sscores).ravel())[0, 1]
+    assert corr_s > 0.99, corr_s
+
+
+def test_quant_rejects_rnn_configs():
     from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
 
     model = YOLOv3T(
         num_classes=3, k=3, k_join_type="max", k_join_pos="late",
-        block_conv_type="3", quant=True,
+        rnn_pos="late", quant=True,
     )
     with pytest.raises(AssertionError):
         model.init(

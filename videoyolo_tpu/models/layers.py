@@ -21,7 +21,7 @@ Capability parity with `/root/reference/models/definitions/layers.py` (the
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,26 @@ Dtype = Any
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.9
 LEAKY_SLOPE = 0.1
+
+
+class QTensor(NamedTuple):
+    """An int8-quantised activation travelling between fused-int8 cells:
+    `q` (int8 data) with its symmetric scale `s` (scalar f32; value = q * s).
+
+    NamedTuple => automatically a pytree, so it flows through flax module
+    calls and jit boundaries unchanged."""
+
+    q: jnp.ndarray
+    s: jnp.ndarray
+
+
+def dequantize(x, dtype=None):
+    """QTensor -> real-valued array (f32, or `dtype`); passes non-QTensors
+    through (so call sites stay polymorphic over quant modes)."""
+    if isinstance(x, QTensor):
+        out = x.q.astype(jnp.float32) * x.s
+        return out.astype(dtype) if dtype is not None else out
+    return x
 
 
 def leaky(x):
@@ -87,7 +107,9 @@ class ConvBNLeaky(nn.Module):
     kernel: int = 3
     stride: int = 1
     padding: int | str = "auto"
-    quant: Any = False  # False | True | "dynamic" | "static"
+    quant: Any = False  # False | True | "dynamic" | "static" | "fused" | "fused_calib"
+    qout: bool = True  # fused modes: emit a QTensor (False: real-valued, for
+    #                    cells feeding f32 consumers like the prediction convs)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -119,31 +141,51 @@ class ConvBNLeaky(nn.Module):
     def _quant_call(self, x, pad):
         return quant_conv_cell(
             self, x, self.kernel, self.stride, pad, self.features,
-            static=self.quant == "static", dtype=self.dtype,
+            mode=self.quant, qout=self.qout, dtype=self.dtype,
         )
 
 
-def quant_conv_cell(module, x, kernel, stride, pad, features, static, dtype):
+def quant_conv_cell(module, x, kernel, stride, pad, features, mode, dtype, qout=True):
     """Shared int8 cell body (ConvBNLeaky quant mode + the s2d stem cell):
     quantise activations, int8 conv with int32 accumulation, dequant +
     folded-BN bias + leaky.  Params live on `module`'s own scope, matching
-    what ops/quantize.quantize_detector_variables produces."""
-    cin = x.shape[-1]
+    what ops/quantize.quantize_detector_variables produces.
+
+    Modes:
+      True/"dynamic": per-image activation scales computed on the fly; sows
+        the observed amax (collection "quant_calib") for calibration.
+      "static": per-cell `xscale` param from calibration; real-valued I/O.
+      "fused": int8 flows end-to-end — accepts a QTensor input (skipping the
+        activation-quantise pass entirely; the dequant factor uses the
+        incoming scale) and, when `qout`, requantises its own output with a
+        calibrated `oscale` param, returning a QTensor.  XLA output-fuses
+        the whole epilogue into the conv, so only int8 crosses cells.
+      "fused_calib": the calibration twin of "fused" — same wiring (QTensor
+        in/out) with dynamic scales, sowing input amax ("amax", real-valued
+        inputs only) and output amax ("oamax") to derive the fused params.
+    """
+    fused = mode in ("fused", "fused_calib")
+    calib = mode in (True, "dynamic", "fused_calib")
+    cin = (x.q if isinstance(x, QTensor) else x).shape[-1]
     shape = (kernel, kernel, cin, features)
     qkernel = module.param("qkernel", nn.initializers.zeros, shape, jnp.int8)
     wscale = module.param("wscale", nn.initializers.ones, (features,), jnp.float32)
     bias = module.param("bias", nn.initializers.zeros, (features,), jnp.float32)
 
-    xf = x.astype(jnp.float32)
-    if static:
-        s_x = module.param("xscale", nn.initializers.ones, (), jnp.float32)
+    if isinstance(x, QTensor):
+        assert fused, "QTensor inputs are a fused-mode contract"
+        q, s_x = x.q, x.s
     else:
-        # dynamic symmetric per-image activation scale; sow the batch
-        # amax so a calibration pass can derive the static xscale
-        amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
-        module.sow("quant_calib", "amax", jnp.max(amax))
-        s_x = jnp.maximum(amax / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        if mode == "static" or mode == "fused":
+            s_x = module.param("xscale", nn.initializers.ones, (), jnp.float32)
+        else:
+            # dynamic symmetric per-image activation scale; sow the batch
+            # amax so a calibration pass can derive the static xscale
+            amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+            module.sow("quant_calib", "amax", jnp.max(amax))
+            s_x = jnp.maximum(amax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
     dn = jax.lax.conv_dimension_numbers(q.shape, shape, ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(
         q,
@@ -155,16 +197,71 @@ def quant_conv_cell(module, x, kernel, stride, pad, features, static, dtype):
     )
     yf = y.astype(jnp.float32) * (s_x * wscale) + bias
     out = leaky(yf)
+    if fused and qout:
+        if mode == "fused":
+            s_o = module.param("oscale", nn.initializers.ones, (), jnp.float32)
+        else:
+            oamax = jnp.max(jnp.abs(out))
+            module.sow("quant_calib", "oamax", oamax)
+            s_o = jnp.maximum(oamax / 127.0, 1e-12)
+        return QTensor(jnp.clip(jnp.round(out / s_o), -127, 127).astype(jnp.int8), s_o)
     return out.astype(dtype) if dtype is not None else out
 
 
+class QuantResidual(nn.Module):
+    """Residual join for the fused-int8 pipeline: dequantise both int8
+    branches, add in f32, requantise with a calibrated scale — so the join
+    emits int8 instead of materialising a bf16/f32 sum (the residual-path
+    cost the ROADMAP measured at ~4 ms of the 46 ms static-int8 step).
+
+    calib=True (the "fused_calib" pass) uses a dynamic scale and sows the
+    observed amax; ops/quantize._insert_fused_scales turns it into the
+    `xscale` param read here in fused mode."""
+
+    calib: bool = False
+
+    @nn.compact
+    def __call__(self, a: QTensor, b: QTensor) -> QTensor:
+        f = a.q.astype(jnp.float32) * a.s + b.q.astype(jnp.float32) * b.s
+        if self.calib:
+            amax = jnp.max(jnp.abs(f))
+            self.sow("quant_calib", "amax", amax)
+            s = jnp.maximum(amax / 127.0, 1e-12)
+        else:
+            s = self.param("xscale", nn.initializers.ones, (), jnp.float32)
+        return QTensor(jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8), s)
+
+
+def quant_concat(parts, axis=-1):
+    """Concatenate QTensors on the channel axis without leaving int8: rescale
+    every part onto the max of the incoming scales (int8 -> int8, elementwise,
+    bounded by |q| <= 127 since scales only grow), then concat the int8 data.
+    Mixed/real-valued inputs fall back to a real-valued concat."""
+    if not all(isinstance(p, QTensor) for p in parts):
+        return jnp.concatenate([dequantize(p) for p in parts], axis=axis)
+    s = parts[0].s
+    for p in parts[1:]:
+        s = jnp.maximum(s, p.s)
+    qs = [
+        jnp.clip(jnp.round(p.q.astype(jnp.float32) * (p.s / s)), -127, 127).astype(jnp.int8)
+        for p in parts
+    ]
+    return QTensor(jnp.concatenate(qs, axis=axis), s)
+
+
 class ConvBNLeaky3D(nn.Module):
-    """3D conv-BN-leaky cell over (B, T, H, W, C) (layers.py:73-80)."""
+    """3D conv-BN-leaky cell over (B, T, H, W, C) (layers.py:73-80).
+
+    `quant` mirrors ConvBNLeaky's int8 serving path for the temporal
+    family: BN folded offline (ops/quantize.py — the same walk converts
+    5D kernels), int8 x int8 -> int32 conv3d on the MXU, dynamic or
+    calibrated-static activation scales."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: Optional[Tuple[int, int, int]] = None
+    quant: Any = False  # False | True/"dynamic" | "static"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -174,6 +271,12 @@ class ConvBNLeaky3D(nn.Module):
         if pad is None:
             pad = (kt // 2, kh // 2, kw // 2)
         pads = [(p, p) for p in pad]
+        if self.quant:
+            assert not train, "int8 cells are eval-only (convert after training)"
+            return quant_conv3d_cell(
+                self, x, self.kernel, self.stride, pads, self.features,
+                mode=self.quant, dtype=self.dtype,
+            )
         x = nn.Conv(
             self.features,
             self.kernel,
@@ -191,15 +294,50 @@ class ConvBNLeaky3D(nn.Module):
         return leaky(x)
 
 
+def quant_conv3d_cell(module, x, kernel, stride, pads, features, mode, dtype):
+    """int8 serving body for the 3D cells (ConvBNLeaky3D, and Conv21D's two
+    halves): symmetric per-clip activation quantisation, int8 conv3d with
+    int32 accumulation on the MXU, folded-BN dequant + leaky.  Same param
+    contract as the 2D cell (qkernel/wscale/bias [+ xscale static])."""
+    cin = x.shape[-1]
+    shape = tuple(kernel) + (cin, features)
+    qkernel = module.param("qkernel", nn.initializers.zeros, shape, jnp.int8)
+    wscale = module.param("wscale", nn.initializers.ones, (features,), jnp.float32)
+    bias = module.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    if mode == "static":
+        s_x = module.param("xscale", nn.initializers.ones, (), jnp.float32)
+    else:
+        amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3, 4), keepdims=True)
+        module.sow("quant_calib", "amax", jnp.max(amax))
+        s_x = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(q.shape, shape, ("NDHWC", "DHWIO", "NDHWC"))
+    y = jax.lax.conv_general_dilated(
+        q,
+        qkernel,
+        tuple(stride),
+        pads,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    yf = y.astype(jnp.float32) * (s_x * wscale) + bias
+    out = leaky(yf)
+    return out.astype(dtype) if dtype is not None else out
+
+
 class Conv21D(nn.Module):
     """R(2+1)D factored conv: (1,d,d) spatial then (t,1,1) temporal
-    (layers.py:83-89); each half is its own conv-BN-leaky cell."""
+    (layers.py:83-89); each half is its own conv-BN-leaky cell (and each
+    quantises independently in int8 serving mode)."""
 
     features: int
     kernel: int = 3  # used for both t and d, as in layers.py Conv dispatcher
     mid: Optional[int] = None
     padding: int = 1
     stride: int = 1
+    quant: Any = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -210,6 +348,7 @@ class Conv21D(nn.Module):
             kernel=(1, self.kernel, self.kernel),
             stride=(1, self.stride, self.stride),
             padding=(0, self.padding, self.padding),
+            quant=self.quant,
             dtype=self.dtype,
         )(x, train)
         x = ConvBNLeaky3D(
@@ -217,6 +356,7 @@ class Conv21D(nn.Module):
             kernel=(self.kernel, 1, 1),
             stride=(self.stride, 1, 1),
             padding=(self.padding, 0, 0),
+            quant=self.quant,
             dtype=self.dtype,
         )(x, train)
         return x

@@ -70,12 +70,11 @@ class _TCell(nn.Module):
     features: int
     kernel: int
     conv_type: str  # '2' | '3' | '21'
-    quant: Any = False  # int8 serving (2D cells only; see YOLOv3T.quant)
+    quant: Any = False  # int8 serving (2D/3D/2+1D; ops/quantize.py)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        assert not (self.quant and self.conv_type != "2"), "int8 cells are 2D-only"
         if self.conv_type == "2":
             cell = ConvBNLeaky(self.features, kernel=self.kernel, quant=self.quant, dtype=self.dtype)
             if x.ndim == 5:
@@ -86,9 +85,11 @@ class _TCell(nn.Module):
             k = self.kernel
             return ConvBNLeaky3D(
                 self.features, kernel=(k if self.conv_type == "3" else 1, k, k),
-                dtype=self.dtype,
+                quant=self.quant, dtype=self.dtype,
             )(x, train)
-        return Conv21D(self.features, kernel=self.kernel, dtype=self.dtype)(x, train)
+        return Conv21D(
+            self.features, kernel=self.kernel, quant=self.quant, dtype=self.dtype
+        )(x, train)
 
 
 class YOLODetectionBlockT(nn.Module):
@@ -184,15 +185,16 @@ class YOLOv3T(nn.Module):
     anchors: Any = DEFAULT_ANCHORS
     strides: Sequence[int] = DEFAULT_STRIDES
     channels: Sequence[int] = FPN_CHANNELS
-    # int8 serving (ops/quantize.py): 2D blocks, no RNN, built-in backbone
+    # int8 serving (ops/quantize.py): 2D/3D/2+1D blocks, no RNN, built-in
+    # backbone
     quant: Any = False
     dtype: Optional[Any] = None
 
     def _validate(self):
         # the reference's config asserts (yolo3.py:978-995)
         if self.quant:
-            assert self.block_conv_type == "2" and self.rnn_pos is None, (
-                "int8 serving covers 2D-block, non-RNN temporal configs"
+            assert self.rnn_pos is None, (
+                "int8 serving covers non-RNN temporal configs"
             )
             assert self.backbone is None, "custom backbones are not quant-threaded"
         assert self.rnn_pos in (None, "late", "out")

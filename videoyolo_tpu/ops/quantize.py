@@ -29,6 +29,7 @@ __all__ = [
     "quantize_detector_variables",
     "calibrate_detector_variables",
     "quantize_static",
+    "quantize_fused",
     "assert_quantizable",
 ]
 
@@ -57,9 +58,11 @@ def fold_bn_cell(kernel, gamma, beta, mean, var):
 
 
 def quantize_cell(kernel, gamma, beta, mean, var) -> Dict[str, np.ndarray]:
-    """One conv-BN cell -> {qkernel int8, wscale f32[Cout], bias f32[Cout]}."""
+    """One conv-BN cell -> {qkernel int8, wscale f32[Cout], bias f32[Cout]}.
+    Kernel may be 2D (Kh, Kw, Cin, Cout) or 3D (Kt, Kh, Kw, Cin, Cout)."""
     w, b = fold_bn_cell(kernel, gamma, beta, mean, var)
-    wscale = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+    reduce_axes = tuple(range(w.ndim - 1))
+    wscale = np.maximum(np.max(np.abs(w), axis=reduce_axes) / 127.0, 1e-12)
     qkernel = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
     return {
         "qkernel": qkernel,
@@ -117,17 +120,13 @@ def assert_quantizable(model):
     if type(model) is YOLOv3:
         return
     if type(model) is YOLOv3T:
-        assert (
-            model.block_conv_type == "2"
-            and model.rnn_pos is None
-            and model.backbone is None
-        ), (
-            "int8 on temporal models covers 2D-block non-RNN configs with "
-            "the built-in backbone (no 3D/2+1D blocks, no two-stream)"
+        assert model.rnn_pos is None and model.backbone is None, (
+            "int8 on temporal models covers non-RNN configs with the "
+            "built-in backbone (2D, 3D, and 2+1D blocks; no two-stream)"
         )
         return
     raise AssertionError(
-        "int8 serving supports yolo3_darknet53 and its 2D temporal variants"
+        "int8 serving supports yolo3_darknet53 and its temporal variants"
     )
 
 
@@ -145,6 +144,82 @@ def quantize_static(model, variables, batches):
     return dataclasses.replace(model, quant="static"), qvars
 
 
+def quantize_fused(model, variables, batches):
+    """The fused int8-end-to-end conversion: f32 (model, variables) +
+    calibration batches -> (quant='fused' model, converted variables).
+
+    The fused pipeline keeps activations int8 across cell boundaries: each
+    cell requantises its own output with a calibrated `oscale` (consumed by
+    the next conv's dequant factor), residual joins are QuantResidual cells
+    (int8 in/out, own calibrated scale), and FPN concats rescale onto a
+    common scale without leaving int8 (models/layers.quant_concat).  This
+    removes the bf16 side-outputs the static path's residual adds force the
+    conv fusions to materialise — the memory-bound floor ROADMAP measured.
+
+    Calibration runs the same wiring with dynamic scales ("fused_calib"),
+    sowing input amax / output amax / join amax under "quant_calib"."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.yolo3 import YOLOv3
+
+    assert type(model) is YOLOv3, (
+        "the fused int8 pipeline currently covers YOLOv3 (temporal families "
+        "serve via quant='static'/'dynamic' — ops/quantize.quantize_static)"
+    )
+    qvars = quantize_detector_variables(variables)
+    calib_model = dataclasses.replace(model, quant="fused_calib")
+    calib_apply = jax.jit(
+        lambda v, xx: calib_model.apply(v, xx, train=False, mutable=["quant_calib"])
+    )
+    amax_tree = None
+    for x in batches:
+        _, aux = calib_apply(qvars, x)
+        cur = aux["quant_calib"]
+        amax_tree = (
+            cur
+            if amax_tree is None
+            else jax.tree_util.tree_map(jnp.maximum, amax_tree, cur)
+        )
+    assert amax_tree is not None, "need at least one calibration batch"
+    amax_tree = jax.device_get(amax_tree)
+    params = _insert_fused_scales(qvars["params"], amax_tree)
+    return dataclasses.replace(model, quant="fused"), {"params": params}
+
+
+def _insert_fused_scales(params, calib):
+    """Insert the fused-mode scale params from the sown calibration tree:
+    cells (nodes with `qkernel`) gain `xscale` (real-valued input only) and
+    `oscale`; calib-only scopes with an `amax` (the QuantResidual joins,
+    which have no params during calibration) are created with `xscale`."""
+
+    def _scale(v):
+        if isinstance(v, (tuple, list)):
+            v = v[0]
+        return np.float32(max(np.float32(v) / 127.0, 1e-12))
+
+    def walk(p, c):
+        if not hasattr(p, "items"):
+            return p
+        cmap = c if hasattr(c, "items") else {}
+        if "qkernel" in p:
+            out = dict(p)
+            if "amax" in cmap:
+                out["xscale"] = _scale(cmap["amax"])
+            if "oamax" in cmap:
+                out["oscale"] = _scale(cmap["oamax"])
+            return out
+        out = {k: walk(v, cmap.get(k, {})) for k, v in p.items()}
+        for k, v in cmap.items():
+            if k not in out and hasattr(v, "items") and "amax" in v:
+                out[k] = {"xscale": _scale(v["amax"])}
+        return out
+
+    return walk(params, calib)
+
+
 def calibrate_detector_variables(qmodel_dynamic, qvars, batches):
     """Dynamic-quant variables -> static-quant variables via calibration.
 
@@ -157,9 +232,12 @@ def calibrate_detector_variables(qmodel_dynamic, qvars, batches):
     import jax
     import jax.numpy as jnp
 
+    calib_apply = jax.jit(
+        lambda v, xx: qmodel_dynamic.apply(v, xx, train=False, mutable=["quant_calib"])
+    )
     amax_tree = None
     for x in batches:
-        _, aux = qmodel_dynamic.apply(qvars, x, train=False, mutable=["quant_calib"])
+        _, aux = calib_apply(qvars, x)
         cur = aux["quant_calib"]
         amax_tree = (
             cur
