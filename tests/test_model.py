@@ -188,3 +188,74 @@ def test_decode_predictions_matches_numpy_transcription():
     np.testing.assert_allclose(
         np.asarray(heads["class_pred"]), p[..., 5:].reshape(B, -1, C), rtol=1e-6
     )
+
+
+def test_postprocess_levels_matches_single_pass():
+    """Per-level selection + merge (postprocess_levels) returns the same
+    detections as the single-pass postprocess on the concatenated tensors
+    (distinct scores -> no tie ambiguity)."""
+    from videoyolo_tpu.models.yolo3 import postprocess, postprocess_levels
+
+    rs = np.random.RandomState(11)
+    b, c = 2, 6
+    levels = []
+    for n in (300, 120, 40):
+        scores = rs.uniform(0, 1, (b, n, c)).astype(np.float32)
+        x1 = rs.uniform(0, 200, (b, n, 1)); y1 = rs.uniform(0, 200, (b, n, 1))
+        boxes = np.concatenate(
+            [x1, y1, x1 + rs.uniform(5, 80, (b, n, 1)), y1 + rs.uniform(5, 80, (b, n, 1))],
+            axis=-1,
+        ).astype(np.float32)
+        levels.append((jnp.asarray(boxes), jnp.asarray(scores)))
+
+    all_boxes = jnp.concatenate([l[0] for l in levels], axis=1)
+    all_scores = jnp.concatenate([l[1] for l in levels], axis=1)
+    want = postprocess(all_boxes, all_scores, nms_topk=50, post_nms=20)
+    got = postprocess_levels(levels, nms_topk=50, post_nms=20)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-6)
+
+
+def test_return_levels_matches_concat_contract():
+    """YOLOv3(return_levels=True) emits per-level pairs whose concatenation
+    equals the default eval contract."""
+    import dataclasses
+
+    from videoyolo_tpu.models.yolo3 import YOLOv3
+
+    model = YOLOv3(num_classes=3)
+    x = jnp.asarray(np.random.RandomState(12).rand(1, 96, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    boxes, scores = model.apply(variables, x, train=False)
+    lv = dataclasses.replace(model, return_levels=True).apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([p[0] for p in lv], axis=1)), np.asarray(boxes), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([p[1] for p in lv], axis=1)), np.asarray(scores), rtol=1e-6
+    )
+
+
+def test_bf16_select_close_to_exact():
+    """select_dtype=bf16: same boxes for clearly-separated scores; scores
+    within bf16 rounding."""
+    from videoyolo_tpu.models.yolo3 import select_topk_candidates
+
+    rs = np.random.RandomState(13)
+    b, n, c, k = 2, 500, 5, 30
+    # top candidates spaced 0.01 apart (well beyond bf16 resolution in
+    # [0.4, 1)) so the selected set is identical; the rest sit near zero
+    scores = rs.uniform(0, 1e-3, (b, n, c)).astype(np.float32)
+    for bi in range(b):
+        flat_idx = rs.choice(n * c, 60, replace=False)
+        scores[bi].ravel()[flat_idx] = 0.99 - 0.01 * np.arange(60)
+    boxes = rs.uniform(0, 100, (b, n, 4)).astype(np.float32)
+    exact = np.asarray(select_topk_candidates(jnp.asarray(boxes), jnp.asarray(scores), topk=k))
+    fast = np.asarray(
+        select_topk_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores), topk=k, select_dtype=jnp.bfloat16
+        )
+    )
+    np.testing.assert_array_equal(exact[..., 0], fast[..., 0])  # classes
+    np.testing.assert_array_equal(exact[..., 2:], fast[..., 2:])  # boxes exact
+    np.testing.assert_allclose(exact[..., 1], fast[..., 1], rtol=1e-2)

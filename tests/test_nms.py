@@ -92,3 +92,21 @@ def test_nms_output_sorted_and_padded():
     valid = scores[scores > 0]
     assert (np.diff(valid) <= 1e-6).all()
     assert (got[0, len(valid):] == -1).all()
+
+
+def test_presorted_skips_sort_but_matches():
+    """presorted=True on score-descending input returns exactly the sorted
+    path's output (incl. validity filtering and padding)."""
+    rs = np.random.RandomState(7)
+    n = 40
+    scores = np.sort(rs.uniform(0, 1, n))[::-1]
+    scores[-5:] = 0.001  # below valid_thresh
+    x1 = rs.uniform(0, 100, (n, 1)); y1 = rs.uniform(0, 100, (n, 1))
+    dets = np.concatenate(
+        [rs.randint(0, 3, (n, 1)).astype(float), scores[:, None],
+         x1, y1, x1 + rs.uniform(5, 40, (n, 1)), y1 + rs.uniform(5, 40, (n, 1))],
+        axis=1,
+    ).astype(np.float32)[None]
+    want = np.asarray(box_nms(jnp.asarray(dets), topk=-1, post_nms=10))
+    got = np.asarray(box_nms(jnp.asarray(dets), topk=-1, post_nms=10, presorted=True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
