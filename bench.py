@@ -8,16 +8,27 @@ Prints ONE JSON line.  Primary metric (detect fps) plus context fields:
                                  device targets + loss + bwd + SGD), bf16,
                                  B=48, space-to-depth stem, no remat — the
                                  fastest measured single-chip recipe
+  temporal_k3_fps                YOLOv3T k=3 late-max detect frames/s (B=32)
+  temporal_t5_fps                YOLOv3Temporal t=5 (t_out + corr pyramid)
+                                 detect frames/s (B=16)
   loader_img_s                   host input pipeline alone (JPEG decode +
                                  full train augmentation -> uint8+color
                                  batches) on this host's cores
+  transfer_img_s                 host->device transfer alone (staged
+                                 device_put of pre-built batches, no step) —
+                                 attributes the e2e gap: e2e ~= min(loader,
+                                 transfer, device)
   e2e_train_img_s                loader feeding the train step through the
                                  async device-prefetcher (data/prefetch.py).
-                                 On this tunneled 1-core box the number is
-                                 bound by host->device bandwidth (~25 MB
-                                 uint8 batches over the TPU tunnel) and by
-                                 the single core running loader + dispatch;
-                                 on a TPU-VM (PCIe/DMA, ~100 cores) it
+                                 On this tunneled 1-core box loader and
+                                 transfer SERIALISE on the single core, so
+                                 the reachable bound is harmonic:
+                                 1/(1/loader + 1/transfer); measured e2e
+                                 sits at ~90% of it (r3: 41.6 vs a 46.2
+                                 bound from loader 151 + transfer 67 —
+                                 tunnel rates fluctuate run to run).  On a
+                                 TPU-VM (PCIe/DMA, ~100 cores) loader,
+                                 transfer and compute overlap and e2e
                                  approaches min(loader, device)
   host_cpus                      cores available to the loader (this box
                                  has 1; TPU-VMs have ~100+)
@@ -88,12 +99,15 @@ def bench_detect():
 
 
 def bench_detect_int8(model, variables, x):
-    """The --quantize int8 serving path: BN-folded per-channel int8 weights,
-    static activation scales calibrated on the benchmark input."""
+    """The --quantize int8 serving path, exactly what the detect CLI ships
+    for plain YOLOv3: the fused int8-end-to-end pipeline (BN-folded
+    per-channel int8 weights, activations int8 across cells/joins, static
+    scales calibrated on the benchmark input).  The per-cell static path
+    measures ~1.5% slower (2798 vs 2839 fps at B=128/416 on v5e)."""
     from videoyolo_tpu.models.yolo3 import postprocess
-    from videoyolo_tpu.ops.quantize import quantize_static
+    from videoyolo_tpu.ops.quantize import quantize_fused
 
-    qmodel, qvars = quantize_static(model, variables, [x[:8].astype(jnp.float32)])
+    qmodel, qvars = quantize_fused(model, variables, [x[:8].astype(jnp.float32)])
 
     @jax.jit
     def step(images):
@@ -242,13 +256,91 @@ def bench_e2e_train(state, step):
     return max(one_epoch(), one_epoch())
 
 
+def bench_transfer():
+    """Host->device transfer alone: staged device_put of pre-built train
+    batches (uint8 image + gt + color), no step.  Attributes the e2e gap:
+    e2e_train_img_s ~= min(loader, transfer, device) on any host."""
+    loader = _loader()
+    batches = [
+        {k: v for k, v in b.items() if k in ("image", "gt_boxes", "gt_ids", "color")}
+        for b in loader
+    ]
+
+    def one_pass():
+        t0 = time.perf_counter()
+        n = 0
+        put = None
+        for b in batches:
+            put = {k: jax.device_put(v) for k, v in b.items()}
+            n += b["image"].shape[0]
+        jax.block_until_ready(put)
+        return n / (time.perf_counter() - t0)
+
+    one_pass()  # warm
+    return max(one_pass(), one_pass())
+
+
+def bench_temporal():
+    """Temporal-family detect throughput (frames/s): YOLOv3T k=3 late-max
+    (B=32) and YOLOv3Temporal t=5 w/ t_out + corr pyramid (B=16) — the
+    PARITY.md configs, folded NMS included."""
+    from videoyolo_tpu.models.factory import YoloConfig, build_model
+    from videoyolo_tpu.models.yolo3 import postprocess
+
+    def run(cfg, b, k):
+        model = build_model(cfg)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(b, k, SIZE, SIZE, 3), jnp.bfloat16
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, k, SIZE, SIZE, 3), jnp.bfloat16),
+            train=False,
+        )
+
+        @jax.jit
+        def step(im):
+            boxes, scores = model.apply(variables, im, train=False)
+            if boxes.ndim == 4:
+                bt = boxes.shape[0] * boxes.shape[1]
+                boxes = boxes.reshape((bt,) + boxes.shape[2:])
+                scores = scores.reshape((bt,) + scores.shape[2:])
+            return postprocess(boxes, scores)
+
+        jax.block_until_ready(step(x))
+        jax.block_until_ready(step(x))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = step(x)
+        jax.device_get(out[0])
+        return b * k * ITERS / (time.perf_counter() - t0)
+
+    k3 = run(
+        YoloConfig(
+            num_classes=20, k=3, k_join_type="max", k_join_pos="late",
+            dtype=jnp.bfloat16,
+        ),
+        32, 3,
+    )
+    t5 = run(
+        YoloConfig(
+            num_classes=20, temporal=True, t_out=True, corr_pos="early",
+            corr_d=4, dtype=jnp.bfloat16,
+        ),
+        16, 5,
+    )
+    return k3, t5
+
+
 def main():
     detect_fps, model, variables, x = bench_detect()
     int8_fps = bench_detect_int8(model, variables, x)
     del model, variables, x
+    temporal_k3_fps, temporal_t5_fps = bench_temporal()
     state, step = _train_step_fn()
     train_rate, state = bench_train(state, step)
     loader_rate = bench_loader()
+    transfer_rate = bench_transfer()
     e2e_rate = bench_e2e_train(state, step)
     print(
         json.dumps(
@@ -258,8 +350,11 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(detect_fps / REFERENCE_FPS, 3),
                 "detect_int8_fps": round(int8_fps, 2),
+                "temporal_k3_fps": round(temporal_k3_fps, 1),
+                "temporal_t5_fps": round(temporal_t5_fps, 1),
                 "train_img_s": round(train_rate, 1),
                 "loader_img_s": round(loader_rate, 1),
+                "transfer_img_s": round(transfer_rate, 1),
                 "e2e_train_img_s": round(e2e_rate, 1),
                 "host_cpus": os.cpu_count(),
             }

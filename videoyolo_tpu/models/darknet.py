@@ -20,7 +20,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BN_EPS, BN_MOMENTUM, ConvBNLeaky, leaky
+from .layers import BN_EPS, BN_MOMENTUM, ConvBNLeaky, QTensor, QuantResidual, leaky
 
 DARKNET53_LAYERS = (1, 2, 8, 8, 4)
 DARKNET53_CHANNELS = (32, 64, 128, 256, 512, 1024)
@@ -62,7 +62,7 @@ class ConvBNLeakyS2D(nn.Module):
 
             return quant_conv_cell(
                 self, x, 3, 1, [(1, 1), (1, 1)], 4 * self.features,
-                static=self.quant == "static", dtype=self.dtype,
+                mode=self.quant, dtype=self.dtype,
             )
         x = nn.Conv(
             4 * self.features, (3, 3), padding=[(1, 1), (1, 1)],
@@ -78,10 +78,14 @@ class ConvBNLeakyS2D(nn.Module):
 
 
 class DarknetBasicBlock(nn.Module):
-    """Residual 1x1-reduce + 3x3-expand block (darknet.py:15-42)."""
+    """Residual 1x1-reduce + 3x3-expand block (darknet.py:15-42).
+
+    In the fused-int8 modes both branches arrive as QTensors and the join is
+    a QuantResidual (int8 in, int8 out) instead of a bf16 add — the residual
+    path stops forcing the conv fusions to emit a second, wide output."""
 
     channels: int  # channels of the 1x1 reduce; 3x3 expands to 2x
-    quant: bool = False
+    quant: Any = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -89,6 +93,8 @@ class DarknetBasicBlock(nn.Module):
         residual = x
         x = ConvBNLeaky(self.channels, kernel=1, stride=1, quant=self.quant, dtype=self.dtype)(x, train)
         x = ConvBNLeaky(self.channels * 2, kernel=3, stride=1, quant=self.quant, dtype=self.dtype)(x, train)
+        if isinstance(x, QTensor):
+            return QuantResidual(calib=self.quant == "fused_calib")(x, residual)
         return x + residual
 
 
@@ -104,7 +110,8 @@ class DarknetStage(nn.Module):
     channels: int
     num_blocks: int
     s2d_in: bool = False
-    quant: bool = False
+    quant: Any = False
+    ds_conv: str = "direct"  # fused-int8 downsample emitter (layers.ConvBNLeaky)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -115,7 +122,10 @@ class DarknetStage(nn.Module):
                 padding=[(1, 0), (1, 0)], quant=self.quant, dtype=self.dtype,
             )(x, train)
         else:
-            x = ConvBNLeaky(self.channels, kernel=3, stride=2, quant=self.quant, dtype=self.dtype)(x, train)
+            x = ConvBNLeaky(
+                self.channels, kernel=3, stride=2, quant=self.quant,
+                ds_conv=self.ds_conv, dtype=self.dtype,
+            )(x, train)
         for _ in range(self.num_blocks):
             x = DarknetBasicBlock(self.channels // 2, quant=self.quant, dtype=self.dtype)(x, train)
         return x
@@ -135,7 +145,9 @@ class Darknet53(nn.Module):
     # ConvBNLeakyS2D); weights refold from standard checkpoints via
     # models/s2d.refold_stem_s2d
     s2d_stem: bool = False
-    quant: bool = False  # int8 serving path (eval-only; see ops/quantize.py)
+    quant: Any = False  # int8 serving path (eval-only; see ops/quantize.py)
+    # fused-int8 downsample emitter: "direct" | "s2d" | "pallas" (layers.py)
+    ds_conv: str = "direct"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -161,6 +173,7 @@ class Darknet53(nn.Module):
                 ch, nblocks,
                 s2d_in=self.s2d_stem and i == 0,
                 quant=self.quant,
+                ds_conv=self.ds_conv,
                 name=f"stage{i + 1}",
                 dtype=self.dtype,
             )(x, train)

@@ -110,6 +110,13 @@ class ConvBNLeaky(nn.Module):
     quant: Any = False  # False | True | "dynamic" | "static" | "fused" | "fused_calib"
     qout: bool = True  # fused modes: emit a QTensor (False: real-valued, for
     #                    cells feeding f32 consumers like the prediction convs)
+    # fused mode: how eligible 3x3/stride-2 cells emit their conv —
+    #   "direct": XLA's strided int8 conv emitter (shipped; fastest e2e)
+    #   "s2d":    space-to-depth + dense 2x2 conv, packed taps (XLA) —
+    #             measured 0.90x e2e, kept for the record
+    #   "pallas": the ops/pallas_conv kernel (measured 0.54x — kept for the
+    #             record; see its docstring)
+    ds_conv: str = "direct"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -139,6 +146,38 @@ class ConvBNLeaky(nn.Module):
         return leaky(x)
 
     def _quant_call(self, x, pad):
+        eligible = (
+            self.ds_conv != "direct"
+            and self.quant == "fused"
+            and self.kernel == 3
+            and self.stride == 2
+            and isinstance(x, QTensor)
+            and self.qout
+            and x.q.shape[1] % 2 == 0
+            # pallas: at stage1 scale (416 input) the resident block
+            # exceeds VMEM; s2d has no such cap
+            and (self.ds_conv == "s2d" or x.q.shape[1] <= 208)
+        )
+        if eligible:
+            from ..ops.pallas_conv import pallas_quant_downsample, xla_s2d_downsample
+
+            qkernel = self.param(
+                "qkernel",
+                nn.initializers.zeros,
+                (3, 3, x.q.shape[-1], self.features),
+                jnp.int8,
+            )
+            wscale = self.param("wscale", nn.initializers.ones, (self.features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            oscale = self.param("oscale", nn.initializers.ones, (), jnp.float32)
+            if self.ds_conv == "s2d":
+                out = xla_s2d_downsample(x.q, qkernel, x.s * wscale, bias, oscale)
+            else:  # "pallas" — measured 0.54x e2e, kept for the record
+                out = pallas_quant_downsample(
+                    x.q, qkernel, x.s * wscale, bias, oscale,
+                    row_block=16 if x.q.shape[1] >= 208 else 8,
+                )
+            return QTensor(out, oscale)
         return quant_conv_cell(
             self, x, self.kernel, self.stride, pad, self.features,
             mode=self.quant, qout=self.qout, dtype=self.dtype,

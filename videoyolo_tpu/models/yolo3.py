@@ -160,9 +160,12 @@ class YOLOv3(nn.Module):
     # dynamically-quantised activations; convert a trained checkpoint via
     # ops/quantize.quantize_detector_variables (never init).  Eval-only.
     quant: Any = False
-    # fused-int8 only, TPU only: run the three backbone downsample convs
-    # through the Pallas s2d kernel (ops/pallas_conv.py)
-    pallas_int8: bool = False
+    # fused-int8 only: how the backbone downsample convs are emitted --
+    # "direct" (XLA strided int8 conv, the shipped path), "s2d"
+    # (space-to-depth + dense 2x2 packed-tap conv, measured 0.90x e2e), or
+    # "pallas" (ops/pallas_conv.py kernel, measured 0.54x e2e) -- both
+    # alternatives kept for the record; see ROADMAP.md
+    ds_conv: str = "direct"
     # eval only: return per-level (boxes, scores) pairs instead of the
     # concatenated tensors, for postprocess_levels (serving fast path)
     return_levels: bool = False
@@ -176,18 +179,18 @@ class YOLOv3(nn.Module):
             if self.remat == "stem":
                 routes = Darknet53(
                     name="backbone", remat_stages=3, s2d_stem=self.s2d_stem,
-                    quant=self.quant, pallas=self.pallas_int8, dtype=self.dtype,
+                    quant=self.quant, ds_conv=self.ds_conv, dtype=self.dtype,
                 )(x, train)
             elif self.remat:
                 cls = nn.remat(Darknet53, static_argnums=(2,))
                 routes = cls(
                     name="backbone", s2d_stem=self.s2d_stem,
-                    quant=self.quant, pallas=self.pallas_int8, dtype=self.dtype
+                    quant=self.quant, ds_conv=self.ds_conv, dtype=self.dtype
                 )(x, train)
             else:
                 routes = Darknet53(
                     name="backbone", s2d_stem=self.s2d_stem,
-                    quant=self.quant, pallas=self.pallas_int8, dtype=self.dtype
+                    quant=self.quant, ds_conv=self.ds_conv, dtype=self.dtype
                 )(x, train)
         else:
             routes = tuple(x)
