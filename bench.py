@@ -70,9 +70,9 @@ TRAIN_ITERS = 10
 
 def _time_detect_step(step, x):
     """Warm, run ITERS, force with device_get; returns frames/sec."""
-    jax.block_until_ready(step(x))
+    jax.device_get(step(x)[0])
     for _ in range(WARMUP):
-        jax.block_until_ready(step(x))
+        jax.device_get(step(x)[0])
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = step(x)
@@ -273,7 +273,10 @@ def bench_transfer():
         for b in batches:
             put = {k: jax.device_put(v) for k, v in b.items()}
             n += b["image"].shape[0]
-        jax.block_until_ready(put)
+        # force with a data round-trip, not block_until_ready: over the axon
+        # tunnel block can return before the transfers land (see tools/
+        # prof_temporal._force); reading one element back is a true barrier
+        jax.device_get(put["image"].ravel()[:1])
         return n / (time.perf_counter() - t0)
 
     one_pass()  # warm
@@ -307,8 +310,8 @@ def bench_temporal():
                 scores = scores.reshape((bt,) + scores.shape[2:])
             return postprocess(boxes, scores)
 
-        jax.block_until_ready(step(x))
-        jax.block_until_ready(step(x))
+        jax.device_get(step(x)[0])
+        jax.device_get(step(x)[0])
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = step(x)

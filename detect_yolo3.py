@@ -69,8 +69,9 @@ flags.DEFINE_enum(
     "quantize",
     "",
     ["", "int8", "int8_static", "int8_dynamic"],
-    "int8 serving path (yolo3_darknet53 and its 2D-block non-RNN temporal "
-    "variants — see ops/quantize.assert_quantizable): 'int8' calibrates on "
+    "int8 serving path (yolo3_darknet53 and its non-RNN temporal variants "
+    "incl. 3D/2+1D blocks and the two-stream family — see "
+    "ops/quantize.assert_quantizable): 'int8' calibrates on "
     "the first batches and uses the fastest eligible pipeline (fused "
     "end-to-end for plain YOLOv3, static scales otherwise); 'int8_static' "
     "forces per-cell static scales; 'int8_dynamic' needs no calibration "
@@ -272,7 +273,6 @@ def quantize_for_serving(model, variables, loader):
     fused int8-end-to-end path for plain YOLOv3 (activations stay int8
     across cells/joins/concats), falling back to per-cell static scales for
     the temporal family; 'int8_static'/'int8_dynamic' force those modes."""
-    import dataclasses
     import itertools
 
     from videoyolo_tpu.models.yolo3 import YOLOv3
@@ -281,12 +281,13 @@ def quantize_for_serving(model, variables, loader):
         quantize_detector_variables,
         quantize_fused,
         quantize_static,
+        replace_quant,
     )
 
     assert_quantizable(model)
     if FLAGS.quantize == "int8_dynamic":
         logging.info("Quantized to int8 (dynamic activation scales)")
-        return dataclasses.replace(model, quant=True), quantize_detector_variables(variables)
+        return replace_quant(model, True), quantize_detector_variables(variables)
     calib = [b["image"] for b in itertools.islice(iter(loader), 2)]
     if FLAGS.quantize == "int8" and type(model) is YOLOv3:
         qmodel, qvars = quantize_fused(model, variables, calib)

@@ -299,3 +299,80 @@ def test_quant_rejects_rnn_configs():
         model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64, 3)), train=False
         )
+
+
+@pytest.mark.parametrize("gated", [False, True])
+def test_quantized_two_stream_tracks_f32(gated):
+    """Mixed-precision int8 for the two-stream family (reference
+    ts_darknet.py:13 DarknetFlownet): the darknet-side ConvBNLeaky cells
+    quantise via the structural walk, the flownet motion stream (convs
+    without BN) passes through real-valued, and quantize_static/replace_quant
+    thread the mode into the backbone submodule."""
+    from videoyolo_tpu.models.factory import YoloConfig, build_model
+    from videoyolo_tpu.ops.quantize import quantize_static, replace_quant
+
+    model = build_model(
+        YoloConfig(
+            num_classes=3, motion_stream="flownet", k=3,
+            add_type="add" if gated else None,
+        )
+    )
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.rand(1, 3, 128, 128, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    qmodel, qvars = quantize_static(model, variables, [x])
+    assert qmodel.quant == "static" and qmodel.backbone.quant == "static"
+
+    boxes, scores = model.apply(variables, x, train=False)
+    qboxes, qscores = qmodel.apply(qvars, x, train=False)
+    assert np.isfinite(np.asarray(qboxes)).all()
+    corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(qscores).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    # dynamic mode needs the same threading (detect CLI int8_dynamic path)
+    qdyn = replace_quant(model, True)
+    dvars = quantize_detector_variables(variables)
+    dboxes, dscores = qdyn.apply(dvars, x, train=False)
+    corr_d = np.corrcoef(np.asarray(scores).ravel(), np.asarray(dscores).ravel())[0, 1]
+    assert corr_d > 0.99, corr_d
+
+
+def test_quant_backbone_mode_mismatch_rejected():
+    """YOLOv3T asserts the backbone carries the same quant mode — a bare
+    dataclasses.replace on the head alone must fail loudly, steering callers
+    to ops/quantize.replace_quant."""
+    import dataclasses
+
+    from videoyolo_tpu.models.factory import YoloConfig, build_model
+
+    model = build_model(YoloConfig(num_classes=3, motion_stream="flownet", k=3))
+    bad = dataclasses.replace(model, quant=True)
+    with pytest.raises(AssertionError):
+        bad.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64, 3)), train=False)
+
+
+@pytest.mark.parametrize("t_out", [True, False])
+def test_quantized_yolov3temporal_tracks_f32(t_out):
+    """int8 for YOLOv3Temporal (reference yolo3_temporal.py:242): the corr-
+    pyramid t_out path (2D cells + parameterless cost volumes) and the
+    5->3->1 funnel path (2+1D ConvBNLeaky3D fusion cells) both quantise via
+    the structural walk and track their f32 outputs."""
+    import dataclasses
+
+    from videoyolo_tpu.models.yolo3_temporal import YOLOv3Temporal
+    from videoyolo_tpu.ops.quantize import quantize_static
+
+    model = YOLOv3Temporal(num_classes=3, t=5, corr_d=2 if t_out else 0, t_out=t_out)
+    rs = np.random.RandomState(13)
+    x = jnp.asarray(rs.rand(1, 5, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    qmodel, qvars = quantize_static(model, variables, [x])
+    assert qmodel.quant == "static"
+
+    boxes, scores = model.apply(variables, x, train=False)
+    qboxes, qscores = qmodel.apply(qvars, x, train=False)
+    assert np.isfinite(np.asarray(qboxes)).all()
+    corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(qscores).ravel())[0, 1]
+    assert corr > 0.99, corr

@@ -38,8 +38,11 @@ STAGES = [
 
 
 def timeit(f, x, iters):
-    jax.block_until_ready(f(x))
-    jax.block_until_ready(f(x))
+    # warmups force with a data round-trip too: over the axon tunnel,
+    # block_until_ready can return early and leak warmup work into the
+    # timed region (see tools/prof_temporal._force)
+    jax.device_get(jax.tree_util.tree_leaves(f(x))[0])
+    jax.device_get(jax.tree_util.tree_leaves(f(x))[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(x)

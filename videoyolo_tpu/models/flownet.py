@@ -85,6 +85,14 @@ class FlowNetSEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # The decoder's skip concats only line up when every stride-2 step
+        # halves exactly; the reference has the identical constraint (its
+        # flownet.py:95 concat fails the same way at e.g. 416 -> conv5 13
+        # vs deconv5 14).
+        assert x.shape[1] % 64 == 0 and x.shape[2] % 64 == 0, (
+            f"FlowNetS needs input H/W divisible by 64, got {x.shape[1:3]} "
+            "(use e.g. data_shape 384 or 448 with the flownet stream)"
+        )
         c1 = _lrelu(_conv(64, 7, 2, name="conv1", dtype=self.dtype)(x))
         c2 = _lrelu(_conv(128, 5, 2, name="conv2", dtype=self.dtype)(c1))
         c3 = _lrelu(_conv(256, 5, 2, name="conv3", dtype=self.dtype)(c2))

@@ -36,34 +36,33 @@ class _GatedStart(nn.Module):
     block handled by the caller (ts_darknet.py:52-95).  Gate tensors g1..g3
     must match (64, H/2), (128, H/4), (256, H/8)."""
 
+    quant: Any = False  # static/dynamic int8 on the darknet-side cells
     dtype: Optional[Any] = None
 
     def _gated_block(self, d, gate, channel, add_type, name, train):
         """block body on (d <op> relu(gate)) with manual residual."""
         body_in = d + nn.relu(gate) if add_type == "add" else d * nn.relu(gate)
-        y = ConvBNLeaky(channel, kernel=1, name=f"{name}_reduce", dtype=self.dtype)(
-            body_in, train
-        )
-        y = ConvBNLeaky(channel * 2, kernel=3, name=f"{name}_expand", dtype=self.dtype)(
-            y, train
-        )
+        y = ConvBNLeaky(channel, kernel=1, name=f"{name}_reduce", quant=self.quant,
+                        dtype=self.dtype)(body_in, train)
+        y = ConvBNLeaky(channel * 2, kernel=3, name=f"{name}_expand",
+                        quant=self.quant, dtype=self.dtype)(y, train)
         return d + y
 
     @nn.compact
     def __call__(self, x, g1, g2, g3, add_type, train: bool = False):
-        d = ConvBNLeaky(32, kernel=3, name="conv0", dtype=self.dtype)(x, train)
+        d = ConvBNLeaky(32, kernel=3, name="conv0", quant=self.quant, dtype=self.dtype)(x, train)
         # group 1 (64ch, /2): downsample then gated block
-        d = ConvBNLeaky(64, kernel=3, stride=2, name="down1", dtype=self.dtype)(d, train)
+        d = ConvBNLeaky(64, kernel=3, stride=2, name="down1", quant=self.quant, dtype=self.dtype)(d, train)
         d = self._gated_block(d, g1, 32, add_type, "g1", train)
         # group 2 (128ch, /4): gated first block, plain second
-        d = ConvBNLeaky(128, kernel=3, stride=2, name="down2", dtype=self.dtype)(d, train)
+        d = ConvBNLeaky(128, kernel=3, stride=2, name="down2", quant=self.quant, dtype=self.dtype)(d, train)
         d = self._gated_block(d, g2, 64, add_type, "g2", train)
-        d = DarknetBasicBlock(64, name="b2_2", dtype=self.dtype)(d, train)
+        d = DarknetBasicBlock(64, name="b2_2", quant=self.quant, dtype=self.dtype)(d, train)
         # group 3 (256ch, /8): gated first block, 7 plain
-        d = ConvBNLeaky(256, kernel=3, stride=2, name="down3", dtype=self.dtype)(d, train)
+        d = ConvBNLeaky(256, kernel=3, stride=2, name="down3", quant=self.quant, dtype=self.dtype)(d, train)
         d = self._gated_block(d, g3, 128, add_type, "g3", train)
         for j in range(7):
-            d = DarknetBasicBlock(128, name=f"b3_{j + 2}", dtype=self.dtype)(d, train)
+            d = DarknetBasicBlock(128, name=f"b3_{j + 2}", quant=self.quant, dtype=self.dtype)(d, train)
         return d  # (B, H/8, W/8, 256)
 
 
@@ -71,17 +70,18 @@ class _GatedStage4(nn.Module):
     """stage4 (512ch, /16) with the gate on its first block
     (ts_darknet.py:86-95)."""
 
+    quant: Any = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, d, g4, add_type, train: bool = False):
-        d = ConvBNLeaky(512, kernel=3, stride=2, name="down4", dtype=self.dtype)(d, train)
+        d = ConvBNLeaky(512, kernel=3, stride=2, name="down4", quant=self.quant, dtype=self.dtype)(d, train)
         body_in = d + nn.relu(g4) if add_type == "add" else d * nn.relu(g4)
-        y = ConvBNLeaky(256, kernel=1, name="g4_reduce", dtype=self.dtype)(body_in, train)
-        y = ConvBNLeaky(512, kernel=3, name="g4_expand", dtype=self.dtype)(y, train)
+        y = ConvBNLeaky(256, kernel=1, name="g4_reduce", quant=self.quant, dtype=self.dtype)(body_in, train)
+        y = ConvBNLeaky(512, kernel=3, name="g4_expand", quant=self.quant, dtype=self.dtype)(y, train)
         d = d + y
         for j in range(7):
-            d = DarknetBasicBlock(256, name=f"b4_{j + 2}", dtype=self.dtype)(d, train)
+            d = DarknetBasicBlock(256, name=f"b4_{j + 2}", quant=self.quant, dtype=self.dtype)(d, train)
         return d  # (B, H/16, W/16, 512)
 
 
@@ -96,6 +96,11 @@ class TwoStreamDarknet(nn.Module):
     stream: str = "flownet"  # 'flownet' | 'r21d'
     t: int = 3
     add_type: Optional[str] = None  # None | 'add' | 'mul'
+    # int8 serving: mixed precision — the darknet-side cells quantise (they
+    # are ConvBNLeaky, so ops/quantize's structural walk converts them); the
+    # motion stream stays real-valued (flownet has no BN to fold, r21d folds
+    # across module boundaries) and the walk leaves it untouched.
+    quant: Any = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -137,21 +142,21 @@ class TwoStreamDarknet(nn.Module):
             feats = tuple(feats)
 
         if self.add_type is None:
-            d1 = ConvBNLeaky(32, kernel=3, name="conv0", dtype=self.dtype)(mid, train)
-            d1 = DarknetStage(64, 1, name="stage1", dtype=self.dtype)(d1, train)
-            d1 = DarknetStage(128, 2, name="stage2", dtype=self.dtype)(d1, train)
-            d1 = DarknetStage(256, 8, name="stage3", dtype=self.dtype)(d1, train)
-            d2 = DarknetStage(512, 8, name="stage4", dtype=self.dtype)(d1, train)
-            d3 = DarknetStage(1024, 4, name="stage5", dtype=self.dtype)(d2, train)
+            d1 = ConvBNLeaky(32, kernel=3, name="conv0", quant=self.quant, dtype=self.dtype)(mid, train)
+            d1 = DarknetStage(64, 1, name="stage1", quant=self.quant, dtype=self.dtype)(d1, train)
+            d1 = DarknetStage(128, 2, name="stage2", quant=self.quant, dtype=self.dtype)(d1, train)
+            d1 = DarknetStage(256, 8, name="stage3", quant=self.quant, dtype=self.dtype)(d1, train)
+            d2 = DarknetStage(512, 8, name="stage4", quant=self.quant, dtype=self.dtype)(d1, train)
+            d3 = DarknetStage(1024, 4, name="stage5", quant=self.quant, dtype=self.dtype)(d2, train)
         else:
             g1, g2, g3, g4 = gates
-            d1 = _GatedStart(name="gstart", dtype=self.dtype)(
+            d1 = _GatedStart(name="gstart", quant=self.quant, dtype=self.dtype)(
                 mid, g1, g2, g3, self.add_type, train
             )
-            d2 = _GatedStage4(name="gstage4", dtype=self.dtype)(
+            d2 = _GatedStage4(name="gstage4", quant=self.quant, dtype=self.dtype)(
                 d1, g4, self.add_type, train
             )
-            d3 = DarknetStage(1024, 4, name="stage5", dtype=self.dtype)(d2, train)
+            d3 = DarknetStage(1024, 4, name="stage5", quant=self.quant, dtype=self.dtype)(d2, train)
 
         return (
             jnp.concatenate([d1, feats[0]], axis=-1),

@@ -185,8 +185,8 @@ class YOLOv3T(nn.Module):
     anchors: Any = DEFAULT_ANCHORS
     strides: Sequence[int] = DEFAULT_STRIDES
     channels: Sequence[int] = FPN_CHANNELS
-    # int8 serving (ops/quantize.py): 2D/3D/2+1D blocks, no RNN, built-in
-    # backbone
+    # int8 serving (ops/quantize.py): 2D/3D/2+1D blocks, no RNN; built-in
+    # backbone or a quant-threaded one (e.g. TwoStreamDarknet's mixed int8)
     quant: Any = False
     dtype: Optional[Any] = None
 
@@ -196,7 +196,11 @@ class YOLOv3T(nn.Module):
             assert self.rnn_pos is None, (
                 "int8 serving covers non-RNN temporal configs"
             )
-            assert self.backbone is None, "custom backbones are not quant-threaded"
+            if self.backbone is not None:
+                assert getattr(self.backbone, "quant", None) == self.quant, (
+                    "a custom backbone must carry the same quant mode "
+                    "(ops/quantize.replace_quant threads it)"
+                )
         assert self.rnn_pos in (None, "late", "out")
         assert self.k_join_type in (None, "max", "mean", "cat")
         assert self.k_join_pos in (None, "early", "late")
@@ -347,15 +351,18 @@ class YOLOv3Temporal(nn.Module):
     anchors: Any = DEFAULT_ANCHORS
     strides: Sequence[int] = DEFAULT_STRIDES
     channels: Sequence[int] = FPN_CHANNELS
+    # int8 serving (ops/quantize.py): every conv-BN cell quantises (2D and
+    # the funnel's 2+1D 3D cells); prediction convs and Corr stay real
+    quant: Any = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.t in (1, 5), "reference supports t=5 (yolo3_temporal.py:400)"
         stages = [
-            Darknet53Stage1(name="stage1", dtype=self.dtype),
-            DarknetStage(512, 8, name="stage2", dtype=self.dtype),
-            DarknetStage(1024, 4, name="stage3", dtype=self.dtype),
+            Darknet53Stage1(name="stage1", quant=self.quant, dtype=self.dtype),
+            DarknetStage(512, 8, name="stage2", quant=self.quant, dtype=self.dtype),
+            DarknetStage(1024, 4, name="stage3", quant=self.quant, dtype=self.dtype),
         ]
         routes = []
         if self.t == 1:
@@ -370,9 +377,9 @@ class YOLOv3Temporal(nn.Module):
                 self.corr_d, self.t, kernel_size=3, stride=1, keep="none",
                 comp_mid=True, name="corr",
             )(y)
-            conv1 = ConvBNLeaky(128, kernel=3, stride=1, name="convs1", dtype=self.dtype)
-            conv2 = ConvBNLeaky(128, kernel=3, stride=2, name="convs2", dtype=self.dtype)
-            conv3 = ConvBNLeaky(128, kernel=3, stride=2, name="convs3", dtype=self.dtype)
+            conv1 = ConvBNLeaky(128, kernel=3, stride=1, name="convs1", quant=self.quant, dtype=self.dtype)
+            conv2 = ConvBNLeaky(128, kernel=3, stride=2, name="convs2", quant=self.quant, dtype=self.dtype)
+            conv3 = ConvBNLeaky(128, kernel=3, stride=2, name="convs3", quant=self.quant, dtype=self.dtype)
 
             c = time_distributed(partial(conv1, train=train), c)
             rep = jnp.repeat(mid[:, None], self.t, axis=1)
@@ -401,11 +408,11 @@ class YOLOv3Temporal(nn.Module):
                 def f(z, train):
                     z = ConvBNLeaky3D(
                         m, kernel=(1, 3, 3), stride=(1, 2, 2), padding=(0, 1, 1),
-                        dtype=self.dtype, name=f"{name}_s",
+                        quant=self.quant, dtype=self.dtype, name=f"{name}_s",
                     )(z, train)
                     return ConvBNLeaky3D(
                         feat, kernel=(3, 1, 1), stride=(1, 1, 1), padding=(0, 0, 0),
-                        dtype=self.dtype, name=f"{name}_t",
+                        quant=self.quant, dtype=self.dtype, name=f"{name}_t",
                     )(z, train)
                 return f
 
@@ -427,7 +434,8 @@ class YOLOv3Temporal(nn.Module):
         y = routes[-1]
         for i in range(3):
             block = YOLODetectionBlockT(
-                self.channels[i], str(self.conv), name=f"block{i}", dtype=self.dtype
+                self.channels[i], str(self.conv), name=f"block{i}",
+                quant=self.quant, dtype=self.dtype,
             )
             if per_frame and self.conv == 2:
                 y, tip = time_distributed(partial(block, train=train), y)
@@ -445,7 +453,8 @@ class YOLOv3Temporal(nn.Module):
 
             if i < 2:
                 trans = ConvBNLeaky(
-                    self.channels[i + 1], kernel=1, name=f"transition{i}", dtype=self.dtype
+                    self.channels[i + 1], kernel=1, name=f"transition{i}",
+                    quant=self.quant, dtype=self.dtype,
                 )
                 if per_frame:
                     y = time_distributed(partial(trans, train=train), y)

@@ -31,6 +31,7 @@ __all__ = [
     "quantize_static",
     "quantize_fused",
     "assert_quantizable",
+    "replace_quant",
 ]
 
 
@@ -110,19 +111,38 @@ def quantize_detector_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": walk(variables["params"], stats)}
 
 
+def replace_quant(model, mode):
+    """`dataclasses.replace(model, quant=mode)` that also threads the mode
+    into a quant-capable `backbone` submodule (TwoStreamDarknet's mixed
+    int8) so the two stay in lockstep (YOLOv3T._validate asserts it)."""
+    import dataclasses
+
+    kw: Dict[str, Any] = {"quant": mode}
+    bb = getattr(model, "backbone", None)
+    if bb is not None and hasattr(bb, "quant"):
+        kw["backbone"] = dataclasses.replace(bb, quant=mode)
+    return dataclasses.replace(model, **kw)
+
+
 def assert_quantizable(model):
     """One predicate for 'can this model take the int8 path' — shared by the
     detect CLI and any future caller so eligibility can't drift from the
     model-side asserts (YOLOv3T._validate)."""
+    from ..models.ts_darknet import TwoStreamDarknet
     from ..models.yolo3 import YOLOv3
-    from ..models.yolo3_temporal import YOLOv3T
+    from ..models.yolo3_temporal import YOLOv3T, YOLOv3Temporal
 
-    if type(model) is YOLOv3:
+    if type(model) in (YOLOv3, YOLOv3Temporal):
         return
     if type(model) is YOLOv3T:
-        assert model.rnn_pos is None and model.backbone is None, (
-            "int8 on temporal models covers non-RNN configs with the "
-            "built-in backbone (2D, 3D, and 2+1D blocks; no two-stream)"
+        assert model.rnn_pos is None, (
+            "int8 on temporal models covers non-RNN configs"
+        )
+        assert model.backbone is None or isinstance(
+            model.backbone, TwoStreamDarknet
+        ), (
+            "int8 temporal backbones: built-in (2D/3D/2+1D blocks) or the "
+            "two-stream family (darknet side int8, motion stream bf16)"
         )
         return
     raise AssertionError(
@@ -135,13 +155,9 @@ def quantize_static(model, variables, batches):
     f32 (model, variables) + calibration image batches ->
     (quant='static' model, converted variables).  Used by the detect CLI
     (--quantize int8), bench.py, and serving exports."""
-    import dataclasses
-
     qvars = quantize_detector_variables(variables)
-    qvars = calibrate_detector_variables(
-        dataclasses.replace(model, quant=True), qvars, batches
-    )
-    return dataclasses.replace(model, quant="static"), qvars
+    qvars = calibrate_detector_variables(replace_quant(model, True), qvars, batches)
+    return replace_quant(model, "static"), qvars
 
 
 def quantize_fused(model, variables, batches):
