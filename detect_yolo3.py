@@ -63,7 +63,8 @@ flags.DEFINE_string(
     "",
     "Write a portable serving artifact (StableHLO, weights baked in — "
     "videoyolo_tpu/serving.py) to this path and exit instead of detecting; "
-    "composes with --quantize.",
+    "composes with --quantize and the temporal families (--window k: the "
+    "artifact takes (B,k,S,S,3); t_out outputs fold to leading dim B*k).",
 )
 flags.DEFINE_enum(
     "quantize",
@@ -771,20 +772,15 @@ def main(_argv):
         if FLAGS.quantize:
             model, variables = quantize_for_serving(model, variables, loader)
         if FLAGS.export_model:
-            from videoyolo_tpu.models.yolo3 import YOLOv3
             from videoyolo_tpu.serving import export_detector
 
-            assert type(model) is YOLOv3, (
-                "--export_model supports the yolo3_darknet53 single-frame "
-                "model (temporal/mult_out graphs need the T-folding step "
-                "detect() applies and are not exportable yet)"
-            )
             export_detector(
                 model,
                 variables,
                 FLAGS.export_model,
                 batch_size=FLAGS.batch_size,
                 size=FLAGS.data_shape,
+                window=window[0] if window[0] > 1 else None,
             )
             logging.info("Wrote serving artifact to %s", FLAGS.export_model)
             return

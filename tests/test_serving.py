@@ -56,3 +56,47 @@ def test_export_int8_static(small_model, tmp_path):
     ids, scores, boxes = load_detector(path)(x)
     want = postprocess(*qmodel.apply(qvars, x, train=False))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(want[1]), rtol=1e-5, atol=1e-6)
+
+
+def test_export_temporal_window(tmp_path):
+    """Temporal export (reference has no serving export at all): a YOLOv3T
+    k=3 graph exports with window=3 — the artifact takes (B, 3, S, S, 3)
+    and matches the direct apply through NMS."""
+    from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
+
+    model = YOLOv3T(num_classes=3, k=3, k_join_type="max", k_join_pos="late")
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.rand(1, 3, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    path = export_detector(
+        model, variables, str(tmp_path / "det_k3.stablehlo"),
+        batch_size=1, size=96, window=3,
+    )
+    ids, scores, boxes = load_detector(path)(x)
+    want = postprocess(*model.apply(variables, x, train=False))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(want[1]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(want[2]), rtol=1e-4, atol=1e-3)
+
+
+def test_export_temporal_t_out_folds_batch(tmp_path):
+    """t_out export: YOLOv3Temporal per-frame outputs come back offset-major
+    with leading dim B*t, matching detect()'s own T-folding."""
+    from videoyolo_tpu.models.yolo3_temporal import YOLOv3Temporal
+
+    model = YOLOv3Temporal(num_classes=3, t=5, corr_d=2, t_out=True)
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.rand(1, 5, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    path = export_detector(
+        model, variables, str(tmp_path / "det_t5.stablehlo"),
+        batch_size=1, size=96, window=5,
+    )
+    ids, scores, boxes = load_detector(path)(x)
+    assert ids.shape[0] == 5  # B*t
+
+    b, s = model.apply(variables, x, train=False)
+    bt = b.shape[0] * b.shape[1]
+    want = postprocess(b.reshape((bt,) + b.shape[2:]), s.reshape((bt,) + s.shape[2:]))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(want[1]), rtol=1e-5, atol=1e-6)

@@ -13,8 +13,10 @@ checkpoint files.
     serve = load_detector("det.stablehlo")
     ids, scores, boxes = serve(images)   # (B,S,S,3) -> (B,100,...)
 
-Works for f32/bf16 and the int8 (`quant="static"`) variants alike —
-quantized weights and scales are constants in the artifact.
+Works for f32/bf16 and the int8 (`quant="static"`/`"fused"`) variants
+alike — quantized weights and scales are constants in the artifact — and
+for the temporal families via `window` (input (B, k, S, S, 3); per-frame
+t_out outputs come back offset-major with leading dim B*k).
 """
 from __future__ import annotations
 
@@ -29,6 +31,7 @@ def export_detector(
     path: str,
     batch_size: int = 1,
     size: int = 416,
+    window: Optional[int] = None,
     input_dtype: Any = None,
     nms_thresh: float = 0.45,
     nms_topk: int = 400,
@@ -37,6 +40,11 @@ def export_detector(
 ) -> str:
     """Trace model+postprocess at a fixed (batch_size, size) and write a
     serialized StableHLO artifact with weights baked in.  Returns `path`.
+
+    `window` exports a temporal model: input (B, window, S, S, 3).  Models
+    with per-timestep outputs (t_out) fold T into the batch before NMS —
+    the artifact then returns leading dim B*window, offset-major per image,
+    exactly what detect() post-slices (detect_yolo3.py mult_out handling).
 
     `platforms` defaults to the current backend; pass e.g. ("tpu", "cpu")
     for an artifact loadable on both."""
@@ -49,11 +57,20 @@ def export_detector(
 
     def fn(images):
         boxes, scores = model.apply(variables, images, train=False)
+        if boxes.ndim == 4:  # (B, T, N, ...) t_out: fold T into batch
+            bt = boxes.shape[0] * boxes.shape[1]
+            boxes = boxes.reshape((bt,) + boxes.shape[2:])
+            scores = scores.reshape((bt,) + scores.shape[2:])
         return postprocess(
             boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms
         )
 
-    x = jax.ShapeDtypeStruct((batch_size, size, size, 3), dtype)
+    in_shape = (
+        (batch_size, size, size, 3)
+        if not window or window <= 1
+        else (batch_size, window, size, size, 3)
+    )
+    x = jax.ShapeDtypeStruct(in_shape, dtype)
     exported = jax.export.export(
         jax.jit(fn), platforms=list(platforms) if platforms else None
     )(x)
