@@ -11,6 +11,12 @@ Prints ONE JSON line.  Primary metric (detect fps) plus context fields:
   temporal_k3_fps                YOLOv3T k=3 late-max detect frames/s (B=32)
   temporal_t5_fps                YOLOv3Temporal t=5 (t_out + corr pyramid)
                                  detect frames/s (B=16)
+  stream_k3_fps                  streaming sliding-window detection
+                                 (streaming.py ring buffer), k=3 late-max,
+                                 B=32 streams: detected frames/s at ONE
+                                 backbone pass per frame (the windowed
+                                 model's stride-1 detection rate is
+                                 temporal_k3_fps / k)
   loader_img_s                   host input pipeline alone (JPEG decode +
                                  full train augmentation -> uint8+color
                                  batches) on this host's cores
@@ -335,11 +341,52 @@ def bench_temporal():
     return k3, t5
 
 
+def bench_stream():
+    """Streaming sliding-window detection (videoyolo_tpu/streaming.py):
+    YOLOv3T k=3 late-max over B=32 parallel streams — ONE backbone pass per
+    detected frame via the device route ring buffer.  Reported as detected
+    frames/s; the windowed model at stride 1 pays k backbone passes per
+    detection (temporal_k3_fps counts frames *processed*, so its stride-1
+    detection rate is temporal_k3_fps / k)."""
+    from videoyolo_tpu.models.factory import YoloConfig, build_model
+    from videoyolo_tpu.streaming import StreamingDetector
+
+    b, k = 32, 3
+    model = build_model(
+        YoloConfig(
+            num_classes=20, k=k, k_join_type="max", k_join_pos="late",
+            dtype=jnp.bfloat16,
+        )
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, k, SIZE, SIZE, 3), jnp.bfloat16),
+        train=False,
+    )
+    stream = StreamingDetector(model, variables)
+    # distinct device-resident frames per step (repeated identical dispatch
+    # under-reports over the tunnel — ROADMAP "Measurement discipline")
+    rs = np.random.RandomState(0)
+    frames = [
+        jax.device_put(jnp.asarray(rs.rand(b, SIZE, SIZE, 3), jnp.bfloat16))
+        for _ in range(ITERS)
+    ]
+    jax.device_get(stream.reset(frames[0])[0])
+    for f in frames[:WARMUP]:
+        jax.device_get(stream.step(f)[0])
+    t0 = time.perf_counter()
+    for f in frames:
+        out = stream.step(f)
+    jax.device_get(out[0])
+    return b * ITERS / (time.perf_counter() - t0)
+
+
 def main():
     detect_fps, model, variables, x = bench_detect()
     int8_fps = bench_detect_int8(model, variables, x)
     del model, variables, x
     temporal_k3_fps, temporal_t5_fps = bench_temporal()
+    stream_k3_fps = bench_stream()
     state, step = _train_step_fn()
     train_rate, state = bench_train(state, step)
     loader_rate = bench_loader()
@@ -355,6 +402,7 @@ def main():
                 "detect_int8_fps": round(int8_fps, 2),
                 "temporal_k3_fps": round(temporal_k3_fps, 1),
                 "temporal_t5_fps": round(temporal_t5_fps, 1),
+                "stream_k3_fps": round(stream_k3_fps, 1),
                 "train_img_s": round(train_rate, 1),
                 "loader_img_s": round(loader_rate, 1),
                 "transfer_img_s": round(transfer_rate, 1),

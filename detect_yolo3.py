@@ -9,6 +9,7 @@ boxes normalized by data_shape) so cached runs skip the device entirely.
 """
 from __future__ import annotations
 
+import itertools
 import logging
 import os
 
@@ -77,6 +78,29 @@ flags.DEFINE_enum(
     "end-to-end for plain YOLOv3, static scales otherwise); 'int8_static' "
     "forces per-cell static scales; 'int8_dynamic' needs no calibration "
     "(per-image scales).",
+)
+flags.DEFINE_boolean(
+    "stream", False,
+    "Streaming sliding-window detection (videoyolo_tpu/streaming.py, "
+    "--window k > 1, any YOLOv3T config incl. conv-RNN): frames run in "
+    "order with per-frame "
+    "backbone routes cached in a device ring buffer — ONE backbone pass per "
+    "detection instead of k.  Works on ad-hoc inputs (.mp4/.jpg dirs/.txt "
+    "lists; pass --every 1 to keep every video frame); each frame's "
+    "detections use the window ending at that frame, streams reset per "
+    "video.  Composes with --quantize and --export_model (stateful "
+    "streaming artifact).  Covers YOLOv3T and the YOLOv3Temporal t=5 "
+    "family (--temp / --mult_out: the corr-pyramid and funnel paths cache "
+    "stage1 features; stages 2/3 re-run on the window).",
+)
+flags.DEFINE_enum(
+    "stream_anchor", "trail", ["trail", "center"],
+    "--stream window anchoring: 'trail' = detections for the window ending "
+    "at each frame (zero latency, live serving); 'center' = detections for "
+    "the window centered on each frame with clip-bound clamping — "
+    "bit-identical to the windowed detect path's per-frame predictions "
+    "(reference window sampler) at 1/k backbone cost, emitted k//2 frames "
+    "late.",
 )
 flags.DEFINE_integer("num_workers", 8, "Data loading workers.")
 flags.DEFINE_boolean("new_model", False, "Use features Yolo (new) or stages Yolo (old)?")
@@ -268,12 +292,14 @@ def get_net_and_params(num_classes):
     return model, variables
 
 
-def quantize_for_serving(model, variables, loader):
+def quantize_for_serving(model, variables, loader, calib_batches=None):
     """--quantize: convert the loaded f32 detector to the int8 serving path
     (ops/quantize.py).  'int8' picks the fastest eligible pipeline: the
     fused int8-end-to-end path for plain YOLOv3 (activations stay int8
     across cells/joins/concats), falling back to per-cell static scales for
-    the temporal family; 'int8_static'/'int8_dynamic' force those modes."""
+    the temporal family; 'int8_static'/'int8_dynamic' force those modes.
+    `calib_batches` overrides the default draw of the first two loader
+    batches (--stream stacks frame batches into windows first)."""
     import itertools
 
     from videoyolo_tpu.models.yolo3 import YOLOv3
@@ -289,7 +315,11 @@ def quantize_for_serving(model, variables, loader):
     if FLAGS.quantize == "int8_dynamic":
         logging.info("Quantized to int8 (dynamic activation scales)")
         return replace_quant(model, True), quantize_detector_variables(variables)
-    calib = [b["image"] for b in itertools.islice(iter(loader), 2)]
+    calib = (
+        calib_batches
+        if calib_batches is not None
+        else [b["image"] for b in itertools.islice(iter(loader), 2)]
+    )
     if FLAGS.quantize == "int8" and type(model) is YOLOv3:
         qmodel, qvars = quantize_fused(model, variables, calib)
         logging.info(
@@ -304,15 +334,102 @@ def quantize_for_serving(model, variables, loader):
     return qmodel, qvars
 
 
+def _collect_boxes(out_dict, file, ids_i, sc_i, bb_i, shape):
+    """Device detections -> the normalized [[cls, score, x1..y2]] entry
+    format load/save_predictions use (reference detect_yolo3.py:247-262)."""
+    valid = np.where(ids_i.flat >= 0)[0]
+    box = bb_i[valid, :] / shape  # normalise
+    cls = ids_i.flat[valid].astype(int)
+    score = sc_i.flat[valid]
+    out_dict.setdefault(file, [])
+    for c, s, b in zip(cls, score, box):
+        out_dict[file].append([int(c), float(s)] + [float(v) for v in b])
+
+
+def detect_stream(model, variables, dataset, loader, max_do=-1):
+    """Streaming sliding-window detection: the loader yields SINGLE frames in
+    dataset order; videoyolo_tpu/streaming.py caches per-frame backbone
+    features in a device ring buffer so each frame pays one backbone pass
+    instead of window-k (the reference's window loop re-runs the full window
+    per detection, detect_yolo3.py:198-273 — no streaming equivalent).
+
+    --stream_anchor trail  : each frame gets the window ENDING at it (zero
+    latency; stream head left-padded with the first frame).
+    --stream_anchor center : each frame gets the window CENTERED on it,
+    clamped at clip bounds — bit-identical to the windowed detect path's
+    per-frame predictions (the reference window sampler, imgnetvid.py:
+    480-506) at 1/k the backbone cost; emission lags k//2 frames and the
+    clip tail is flushed by re-feeding the last frame.
+
+    Streams reset at video boundaries (frame parent directory).  Per-
+    timestep (t_out / --mult_out) models emit the window's T offsets each
+    step; what gets collected is the anchor frame's own offset (the last
+    for 'trail', the middle for 'center')."""
+    from videoyolo_tpu.data.prefetch import device_prefetch
+    from videoyolo_tpu.streaming import StreamingDetector, stream_frames
+
+    shape = FLAGS.data_shape
+    stream = StreamingDetector(model, variables)
+    t_off = -1 if FLAGS.stream_anchor == "trail" else stream.k // 2
+    boxes_out = {}
+    if max_do < 0:
+        max_do = len(dataset)
+    done = 0
+
+    def path_frame_pairs():
+        for batch in device_prefetch(iter(loader), size=2, keys=("image",)):
+            assert batch["image"].shape[0] == 1, "streaming runs batch_size=1"
+            yield dataset.sample_path(int(batch["idx"][0])), batch["image"]
+
+    for _, group in itertools.groupby(
+        path_frame_pairs(), key=lambda pf: os.path.dirname(pf[0])
+    ):
+        if done >= max_do:
+            break
+        paths = []
+
+        def frames():
+            for p, img in group:
+                paths.append(p)
+                yield img
+
+        for m, (ids, sc, bb) in stream_frames(
+            stream, frames(), anchor=FLAGS.stream_anchor
+        ):
+            if done >= max_do:
+                break
+            ids_i, sc_i, bb_i = (
+                np.asarray(ids)[0], np.asarray(sc)[0], np.asarray(bb)[0]
+            )
+            if ids_i.ndim == 3:  # t_out (T, P, 1): the anchor frame's offset
+                ids_i, sc_i, bb_i = ids_i[t_off], sc_i[t_off], bb_i[t_off]
+            _collect_boxes(
+                boxes_out, paths[m], ids_i, sc_i, bb_i.clip(0, shape), shape,
+            )
+            done += 1
+    return boxes_out
+
+
 def detect(model, variables, dataset, loader, max_do=-1):
     """Run the jitted device step over the loader; returns {img_path: [[cls,
     score, x1..y2 normalized]]}, or a list of 5 such dicts (one per window
-    offset) when mult_out (reference detect_yolo3.py:198-273)."""
+    offset) when mult_out (reference detect_yolo3.py:198-273).
+
+    Multi-chip: the batch axis is sharded over every device on the mesh —
+    the TPU-native form of the reference's per-GPU `split_and_load` detect
+    loop (reference detect_yolo3.py:211-222); tail batches are padded to a
+    shardable multiple and the padding dropped on the host side (the
+    reference's `even_split=False`)."""
     import jax
 
     from videoyolo_tpu.models.yolo3 import postprocess
+    from videoyolo_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
 
     shape = FLAGS.data_shape
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flat)
+    if n_dev > 1:
+        variables = jax.device_put(variables, replicated_sharding(mesh))
 
     @jax.jit
     def step(images):
@@ -333,13 +450,22 @@ def detect(model, variables, dataset, loader, max_do=-1):
         return ids, sc, bb.clip(0, shape)
 
     def collect(out_dict, file, ids_i, sc_i, bb_i):
-        valid = np.where(ids_i.flat >= 0)[0]
-        box = bb_i[valid, :] / shape  # normalise
-        cls = ids_i.flat[valid].astype(int)
-        score = sc_i.flat[valid]
-        out_dict.setdefault(file, [])
-        for c, s, b in zip(cls, score, box):
-            out_dict[file].append([int(c), float(s)] + [float(v) for v in b])
+        _collect_boxes(out_dict, file, ids_i, sc_i, bb_i, shape)
+
+    def _stage(batch):
+        # pad the tail batch to a shardable multiple, shard, ship (runs in
+        # the prefetch thread so transfers overlap the device step)
+        imgs = batch["image"]
+        n = imgs.shape[0]
+        if n_dev > 1:
+            pad = (-n) % n_dev
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            with mesh:
+                imgs = shard_batch({"image": imgs}, mesh)["image"]
+        else:
+            imgs = jax.device_put(imgs)
+        return imgs, n, batch["idx"]
 
     boxes_out = [dict() for _ in range(5)] if FLAGS.mult_out else {}
     if max_do < 0:
@@ -348,12 +474,14 @@ def detect(model, variables, dataset, loader, max_do=-1):
     # overlap the host->device image copy with the device step
     from videoyolo_tpu.data.prefetch import device_prefetch
 
-    for batch in device_prefetch(iter(loader), size=2, keys=("image",)):
-        ids, sc, bb = [np.asarray(x) for x in step(batch["image"])]
+    for images, n_real, batch_idx in device_prefetch(
+        iter(loader), size=2, transfer=_stage
+    ):
+        ids, sc, bb = [np.asarray(x)[:n_real] for x in step(images)]
         for i in range(ids.shape[0]):
             if done >= max_do:
                 break
-            sidx = int(batch["idx"][i])
+            sidx = int(batch_idx[i])
             if FLAGS.mult_out:
                 files = dataset.window_paths(sidx)
                 for off, file in enumerate(files):
@@ -722,9 +850,16 @@ def main(_argv):
     from videoyolo_tpu.data.transforms import YOLO3DefaultInferenceTransform
 
     window = [int(w) for w in FLAGS.window]
-    assert window[0] == 1 or FLAGS.dataset[0] in ("vid", "yt"), (
-        "window > 1 requires a video dataset (reference detect_yolo3.py:805-806)"
+    assert window[0] == 1 or FLAGS.dataset[0] in ("vid", "yt") or FLAGS.stream, (
+        "window > 1 requires a video dataset (reference detect_yolo3.py:805-806) "
+        "or --stream (frame-ordered ad-hoc inputs)"
     )
+    if FLAGS.stream:
+        assert window[0] > 1, "--stream needs a temporal window (--window k,1)"
+        assert window[1] == 1, (
+            "--stream runs stride-1 windows (--window k,1); strided windows "
+            "skip frames the ring buffer would need"
+        )
 
     dataset = get_dataset(FLAGS.dataset)
     trained_on = get_dataset([FLAGS.trained_on]) if FLAGS.trained_on else dataset
@@ -746,7 +881,7 @@ def main(_argv):
         from videoyolo_tpu.data.transforms import YOLO3VideoInferenceTransform
 
         native_hw = None
-        if window[0] > 1:
+        if window[0] > 1 and not FLAGS.stream:
             dataset._transform = YOLO3VideoInferenceTransform(
                 FLAGS.data_shape, FLAGS.data_shape
             )
@@ -764,27 +899,57 @@ def main(_argv):
                 native_hw = (FLAGS.data_shape, FLAGS.data_shape)
         loader = DetectionLoader(
             dataset,
-            batch_size=FLAGS.batch_size,
+            batch_size=1 if FLAGS.stream else FLAGS.batch_size,
             num_workers=FLAGS.num_workers,
             native_decode=native_hw,
         )
         model, variables = get_net_and_params(len(classes))
         if FLAGS.quantize:
-            model, variables = quantize_for_serving(model, variables, loader)
-        if FLAGS.export_model:
-            from videoyolo_tpu.serving import export_detector
+            calib = None
+            if FLAGS.stream:
+                # stream loaders yield single frames; the temporal model
+                # calibrates on sliding windows built from the first frames
+                import itertools
 
-            export_detector(
-                model,
-                variables,
-                FLAGS.export_model,
-                batch_size=FLAGS.batch_size,
-                size=FLAGS.data_shape,
-                window=window[0] if window[0] > 1 else None,
+                import jax.numpy as jnp
+
+                k = window[0]
+                fr = [
+                    b["image"]
+                    for b in itertools.islice(iter(loader), 2 * k)
+                ]
+                calib = [
+                    jnp.concatenate([f[:, None] for f in fr[i : i + k]], axis=1)
+                    for i in range(0, max(len(fr) - k + 1, 1), k)
+                ]
+            model, variables = quantize_for_serving(
+                model, variables, loader, calib_batches=calib
             )
+        if FLAGS.export_model:
+            if FLAGS.stream:
+                from videoyolo_tpu.streaming import export_streaming_detector
+
+                export_streaming_detector(
+                    model, variables, FLAGS.export_model,
+                    batch_size=1, size=FLAGS.data_shape,
+                )
+            else:
+                from videoyolo_tpu.serving import export_detector
+
+                export_detector(
+                    model,
+                    variables,
+                    FLAGS.export_model,
+                    batch_size=FLAGS.batch_size,
+                    size=FLAGS.data_shape,
+                    window=window[0] if window[0] > 1 else None,
+                )
             logging.info("Wrote serving artifact to %s", FLAGS.export_model)
             return
-        boxes = detect(model, variables, dataset, loader, FLAGS.max_do)
+        if FLAGS.stream:
+            boxes = detect_stream(model, variables, dataset, loader, FLAGS.max_do)
+        else:
+            boxes = detect(model, variables, dataset, loader, FLAGS.max_do)
         save_predictions(save_dir, dataset, boxes, FLAGS.max_do, FLAGS.model_agnostic)
         dataset._transform = None
         predictions = boxes

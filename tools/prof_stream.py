@@ -15,7 +15,14 @@ Expected ~2.5x at k=3 (backbone dominates; the per-window FPN/head is
 also per-frame for late joins, so the stream step is close to a
 single-frame YOLOv3).
 
+--family picks the model: 'yolov3t' (k-frame late-max, default),
+'t5corr' / 't5plain' / 't5funnel' (the YOLOv3Temporal t=5 paths — corr
+pyramid and funnel cache stage1 features only, so their stream step still
+pays corr + mid-frame stages 2/3 + head per frame; expected speedup is the
+stage1 share saved, not ~k).
+
 Usage: python tools/prof_stream.py [--b 8] [--size 416] [--iters 20]
+                                   [--family yolov3t]
 """
 import argparse
 import json
@@ -32,7 +39,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from videoyolo_tpu.models.yolo3 import postprocess
-from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
+from videoyolo_tpu.models.yolo3_temporal import YOLOv3T, YOLOv3Temporal
 from videoyolo_tpu.streaming import make_streaming_step, split_temporal_variables
 
 
@@ -56,12 +63,25 @@ def main():
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--classes", type=int, default=20)
+    ap.add_argument(
+        "--family", default="yolov3t",
+        choices=["yolov3t", "t5corr", "t5plain", "t5funnel"],
+    )
     args = ap.parse_args()
 
-    model = YOLOv3T(
-        num_classes=args.classes, k=args.k, k_join_type="max",
-        k_join_pos="late", dtype=jnp.bfloat16,
-    )
+    if args.family == "yolov3t":
+        model = YOLOv3T(
+            num_classes=args.classes, k=args.k, k_join_type="max",
+            k_join_pos="late", dtype=jnp.bfloat16,
+        )
+    else:
+        args.k = 5
+        model = YOLOv3Temporal(
+            num_classes=args.classes, t=5,
+            corr_d=2 if args.family == "t5corr" else 0,
+            t_out=args.family != "t5funnel",
+            dtype=jnp.bfloat16,
+        )
     rs = np.random.RandomState(0)
     win = jnp.asarray(
         rs.rand(args.b, args.k, args.size, args.size, 3), jnp.bfloat16
@@ -71,10 +91,17 @@ def main():
         model.init(jax.random.PRNGKey(0), win, train=False)
     )
 
+    def _post(boxes, scores):
+        if boxes.ndim == 4:  # t_out: fold T into batch for NMS
+            b, t = boxes.shape[:2]
+            boxes = boxes.reshape((b * t,) + boxes.shape[2:])
+            scores = scores.reshape((b * t,) + scores.shape[2:])
+        return postprocess(boxes, scores)
+
     # windowed: full k-frame apply per detection (weights closed over —
     # params-as-arguments costs ~4 s/call over the tunnel, ROADMAP)
     win_step = jax.jit(
-        lambda x: postprocess(*model.apply(variables, x, train=False))
+        lambda x: _post(*model.apply(variables, x, train=False))
     )
     ms_win = timeit(win_step, win, iters=args.iters)
 
@@ -86,7 +113,7 @@ def main():
     ms_stream = timeit(step, bufs, frame, iters=args.iters)
 
     out = {
-        "b": args.b, "k": args.k, "size": args.size,
+        "family": args.family, "b": args.b, "k": args.k, "size": args.size,
         "windowed_ms": round(ms_win, 2),
         "windowed_fps": round(args.b / ms_win * 1e3, 1),
         "stream_ms": round(ms_stream, 2),

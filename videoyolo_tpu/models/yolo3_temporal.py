@@ -340,6 +340,14 @@ class YOLOv3Temporal(nn.Module):
     t_out=False: the 5->3->1 temporal funnel — per-frame stages fused with
                  strided 2+1D convs, emitting single-frame routes
                  (yolo3_temporal.py:434-448).
+
+    `feed` is the streaming split point (videoyolo_tpu/streaming.py): None
+    takes frames; "stage1" takes the cached per-frame stage1 feature window
+    (B, T, H/8, W/8, 256) — the only per-frame compute the corr-pyramid and
+    funnel paths have; "routes" takes the 3-tuple of per-frame route
+    buffers (plain t_out path, whose whole backbone is per-frame).  The
+    skipped stages' params are simply never created (flax lazily creates on
+    call), so a feed-clone applies cleanly on the name-split variables.
     """
 
     num_classes: int
@@ -347,6 +355,7 @@ class YOLOv3Temporal(nn.Module):
     conv: int = 2
     corr_d: int = 0
     t_out: bool = True
+    feed: Optional[str] = None
     agnostic: bool = False
     anchors: Any = DEFAULT_ANCHORS
     strides: Sequence[int] = DEFAULT_STRIDES
@@ -359,6 +368,14 @@ class YOLOv3Temporal(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.t in (1, 5), "reference supports t=5 (yolo3_temporal.py:400)"
+        assert self.feed in (None, "stage1", "routes")
+        if self.feed == "routes":
+            assert self.t_out and not self.corr_d, (
+                "feed='routes' is the plain t_out split; the corr/funnel "
+                "paths split at stage1 (feed='stage1')"
+            )
+        if self.feed == "stage1":
+            assert self.t > 1 and (self.corr_d or not self.t_out)
         stages = [
             Darknet53Stage1(name="stage1", quant=self.quant, dtype=self.dtype),
             DarknetStage(512, 8, name="stage2", quant=self.quant, dtype=self.dtype),
@@ -371,7 +388,10 @@ class YOLOv3Temporal(nn.Module):
                 y = stage(y, train)
                 routes.append(y)
         elif self.t_out and self.corr_d:
-            y = time_distributed(partial(stages[0], train=train), x)
+            if self.feed == "stage1":
+                y = x
+            else:
+                y = time_distributed(partial(stages[0], train=train), x)
             mid = y[:, self.t // 2]
             c = Corr(
                 self.corr_d, self.t, kernel_size=3, stride=1, keep="none",
@@ -395,10 +415,13 @@ class YOLOv3Temporal(nn.Module):
             c = time_distributed(partial(conv3, train=train), c)
             routes.append(jnp.concatenate([rep, c], axis=-1))
         elif self.t_out:
-            y = x
-            for stage in stages:
-                y = time_distributed(partial(stage, train=train), y)
-                routes.append(y)
+            if self.feed == "routes":
+                routes = list(x)
+            else:
+                y = x
+                for stage in stages:
+                    y = time_distributed(partial(stage, train=train), y)
+                    routes.append(y)
         else:
             # 5 -> 3 -> 1 temporal funnel with strided 2+1D fusion convs:
             # _conv21d(512, t=3, m=256, spatial stride 2, temporal VALID) so T
@@ -416,7 +439,10 @@ class YOLOv3Temporal(nn.Module):
                     )(z, train)
                 return f
 
-            y = time_distributed(partial(stages[0], train=train), x)
+            if self.feed == "stage1":
+                y = x
+            else:
+                y = time_distributed(partial(stages[0], train=train), x)
             routes.append(y[:, 2])
             cx = funnel(512, 256, "convs1")(y, train)  # (B, 3, H/16, W/16, 512)
             y = time_distributed(partial(stages[1], train=train), y[:, 1:4]) + cx

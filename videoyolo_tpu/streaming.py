@@ -3,13 +3,26 @@
 The reference detects on videos by re-running the full k-frame window for
 every output (detect_yolo3.py window loop; yolo3.py:915 YOLOV3T takes the
 whole (B, k, H, W, 3) stack each call), so stride-1 video detection costs
-k backbone passes per emitted detection.  But for every non-RNN YOLOv3T
+k backbone passes per emitted detection.  But for every YOLOv3T
 config the darknet53 stages are strictly per-frame (TimeDistributed —
 models/yolo3_temporal.py:236-242): consecutive windows share k-1 frames of
-backbone compute.  This module splits the model at that boundary and keeps
+backbone compute.  That includes the conv-RNN configs: the reference's RNN
+tips/outputs scan the *window* from zero state every call (yolo3.py:267-306
+unrolled k steps), so re-scanning the cached route window in the head
+reproduces them exactly while still skipping k-1 backbone passes.  This module splits the model at that boundary and keeps
 a ring buffer of per-frame route features on device, so each new frame
 pays ONE backbone pass + the (cheap, per-window) join/head/NMS — a ~k×
 serving win on exactly the workload the temporal family exists for.
+
+The YOLOv3Temporal t=5 family streams the same way, at its own natural
+split: the plain t_out path runs the whole darknet per frame (three route
+buffers, like YOLOv3T); the corr-pyramid and funnel paths' only per-frame
+compute is darknet stage1 (reference yolo3_temporal.py:403-424 — stages
+2/3 consume window-mixed features), so the carry is one (B, t, H/8, W/8,
+256) stage1 buffer and each step re-runs corr + mid-frame stages 2/3 +
+head on the cached window — saving (t-1)/t of the stage1 cost, the
+dominant high-resolution slice of the backbone.  t_out models emit the
+window's T per-frame detections each step, offset-major (B, T, P, ...).
 
 TPU-first shape: the stream state is an explicit functional carry (three
 stacked (B, k, ...) route buffers), the step is one jitted pure function
@@ -19,7 +32,7 @@ detector with the state in the caller's hands, which is also exactly the
 form a pjit/shard_map deployment wants (B = independent streams, shardable
 on the batch axis).
 
-    stream = StreamingDetector(model, variables)     # YOLOv3T, non-RNN
+    stream = StreamingDetector(model, variables)     # any YOLOv3T config
     dets = stream.reset(first_frame)                 # buffer <- k × frame0
     for frame in frames:
         ids, scores, boxes = stream.step(frame)      # one backbone pass
@@ -27,8 +40,8 @@ on the batch axis).
 Windowed-equivalence contract: after reset(f0) and steps f1..fn, step(fi)
 returns bit-for-bit what `model.apply` + `postprocess` return on the
 window (f[i-k+1], ..., fi) (left-padded with f0 at the stream head) —
-tests/test_streaming.py locks this for late/early joins and the
-correlation configs, plain and int8.
+tests/test_streaming.py locks this for late/early joins, the correlation
+configs, and the conv-RNN tips/outputs, plain and int8.
 """
 from __future__ import annotations
 
@@ -41,10 +54,11 @@ from flax import linen as nn
 
 from .models.darknet import Darknet53Stage1, DarknetStage
 from .models.yolo3 import postprocess
-from .models.yolo3_temporal import YOLOv3T
+from .models.yolo3_temporal import YOLOv3T, YOLOv3Temporal
 
 __all__ = [
     "StreamingDetector",
+    "stream_frames",
     "split_temporal_variables",
     "export_streaming_detector",
     "load_streaming_detector",
@@ -85,16 +99,42 @@ class _StageRoutes(nn.Module):
         return tuple(routes)
 
 
-def split_temporal_variables(variables) -> Tuple[dict, dict]:
-    """Split a YOLOv3T variables tree into (embed_vars, head_vars) by
-    top-level module name: the stage1/2/3 subtrees drive `_StageRoutes`,
-    everything else (blocks, transitions, outputs, corr) drives the
-    routes-in head.  Works for f32/bf16 and every int8 variant — quantised
-    cell params (qkernel/wscale/xscale/...) live inside the same subtrees."""
+class _Stage1PerFrame(nn.Module):
+    """Per-frame darknet53 stage1 extractor with YOLOv3Temporal's top-level
+    module name, for the corr-pyramid/funnel streaming split: their only
+    per-frame compute is stage1 (everything after mixes the window)."""
+
+    quant: Any = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return Darknet53Stage1(
+            name="stage1", quant=self.quant, dtype=self.dtype
+        )(x, train)
+
+
+def _embed_names(model) -> Tuple[str, ...]:
+    """Top-level module names whose compute is strictly per-frame — the
+    streaming split point.  YOLOv3T and the plain t_out YOLOv3Temporal run
+    the whole darknet per frame; the corr-pyramid and funnel paths only
+    stage1 (stages 2/3 consume window-mixed features)."""
+    if type(model) is YOLOv3T or (model.t_out and not model.corr_d):
+        return _STAGE_NAMES
+    return _STAGE_NAMES[:1]
+
+
+def split_temporal_variables(variables, names=_STAGE_NAMES) -> Tuple[dict, dict]:
+    """Split a temporal-model variables tree into (embed_vars, head_vars) by
+    top-level module name: the per-frame `names` subtrees drive the embed
+    model, everything else (blocks, transitions, outputs, corr, window-mixed
+    stages) drives the features-in head.  Works for f32/bf16 and every int8
+    variant — quantised cell params (qkernel/wscale/xscale/...) live inside
+    the same subtrees."""
     embed, head = {}, {}
     for col, tree in variables.items():
-        e = {k: v for k, v in tree.items() if k in _STAGE_NAMES}
-        h = {k: v for k, v in tree.items() if k not in _STAGE_NAMES}
+        e = {k: v for k, v in tree.items() if k in names}
+        h = {k: v for k, v in tree.items() if k not in names}
         if e:
             embed[col] = e
         if h:
@@ -103,18 +143,17 @@ def split_temporal_variables(variables) -> Tuple[dict, dict]:
 
 
 def _check_streamable(model) -> None:
+    if type(model) is YOLOv3Temporal:
+        assert model.t and model.t > 1, "streaming needs a temporal window"
+        assert model.feed is None, "model is already a streaming head"
+        return
     assert type(model) is YOLOv3T, (
-        "streaming covers the YOLOv3T family (built-in darknet53 backbone); "
-        "YOLOv3Temporal's corr/funnel paths mix stages across time and "
-        "cannot reuse per-frame features"
+        "streaming covers the YOLOv3T and YOLOv3Temporal families "
+        "(built-in darknet53 backbone)"
     )
     assert model.backbone is None, (
         "streaming needs the built-in per-frame backbone (custom temporal "
         "backbones own their time mixing)"
-    )
-    assert model.rnn_pos is None, (
-        "conv-RNN tips re-scan the window from zero state each call; "
-        "stream them with an explicit-state export instead (ROADMAP)"
     )
     assert model.k and model.k > 1, "streaming needs a temporal window (k > 1)"
 
@@ -126,20 +165,36 @@ def make_streaming_step(
     nms_topk: int = 400,
     post_nms: int = 100,
 ) -> Tuple[Callable, Callable]:
-    """(embed_fn, step_fn) for a YOLOv3T model.
+    """(embed_fn, step_fn) for a YOLOv3T or YOLOv3Temporal model.
 
-    embed_fn(frame (B,H,W,3)) -> per-frame routes tuple — used to seed the
-    ring buffer.  step_fn(buffers, frame) -> (buffers', (ids, scores,
-    boxes)) — the pure streaming step: one backbone pass, ring-buffer roll,
-    join/head/NMS on the cached window.  Both close over the (split)
-    variables; jit-wrap at the call site (StreamingDetector does)."""
+    embed_fn(frame (B,H,W,3)) -> per-frame feature tuple (three routes, or a
+    1-tuple of stage1 features for the corr-pyramid/funnel paths) — used to
+    seed the ring buffer.  step_fn(buffers, frame) -> (buffers', (ids,
+    scores, boxes)) — the pure streaming step: one per-frame-backbone pass,
+    ring-buffer roll, window head + NMS on the cached features.  Models with
+    per-timestep outputs (t_out) fold T into the batch for NMS and return
+    (B, T, P, ...) detections, offset-major — the window's T per-frame
+    outputs each step.  Both close over the (split) variables; jit-wrap at
+    the call site (StreamingDetector does)."""
     _check_streamable(model)
-    embed_vars, head_vars = split_temporal_variables(variables)
-    embed_model = _StageRoutes(quant=model.quant, dtype=model.dtype)
-    head_model = model.clone(backbone=_RoutesBackbone(quant=model.quant))
+    names = _embed_names(model)
+    embed_vars, head_vars = split_temporal_variables(variables, names)
+    if len(names) == 3:
+        embed_model = _StageRoutes(quant=model.quant, dtype=model.dtype)
+        if type(model) is YOLOv3T:
+            head_model = model.clone(backbone=_RoutesBackbone(quant=model.quant))
+        else:
+            head_model = model.clone(feed="routes")
+        head_in = lambda bufs: bufs
+        wrap = lambda r: r
+    else:
+        embed_model = _Stage1PerFrame(quant=model.quant, dtype=model.dtype)
+        head_model = model.clone(feed="stage1")
+        head_in = lambda bufs: bufs[0]
+        wrap = lambda r: (r,)
 
     def embed_fn(frame):
-        return embed_model.apply(embed_vars, frame, train=False)
+        return wrap(embed_model.apply(embed_vars, frame, train=False))
 
     def step_fn(buffers, frame):
         new = embed_fn(frame)
@@ -147,11 +202,22 @@ def make_streaming_step(
             jnp.concatenate([buf[:, 1:], r[:, None]], axis=1)
             for buf, r in zip(buffers, new)
         )
-        boxes, scores = head_model.apply(head_vars, buffers, train=False)
-        dets = postprocess(
-            boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk,
-            post_nms=post_nms,
-        )
+        boxes, scores = head_model.apply(head_vars, head_in(buffers), train=False)
+        if boxes.ndim == 4:  # (B, T, N, ...) t_out: fold T into batch for NMS
+            b, t = boxes.shape[:2]
+            ids, sc, bb = postprocess(
+                boxes.reshape((b * t,) + boxes.shape[2:]),
+                scores.reshape((b * t,) + scores.shape[2:]),
+                nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms,
+            )
+            dets = tuple(
+                a.reshape((b, t) + a.shape[1:]) for a in (ids, sc, bb)
+            )
+        else:
+            dets = postprocess(
+                boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk,
+                post_nms=post_nms,
+            )
         return buffers, dets
 
     return embed_fn, step_fn
@@ -174,7 +240,7 @@ class StreamingDetector:
         nms_topk: int = 400,
         post_nms: int = 100,
     ):
-        self.k = model.k
+        self.k = model.k if type(model) is YOLOv3T else model.t
         embed_fn, step_fn = make_streaming_step(
             model, variables, nms_thresh=nms_thresh, nms_topk=nms_topk,
             post_nms=post_nms,
@@ -204,6 +270,43 @@ class StreamingDetector:
         return dets
 
 
+def stream_frames(detector: "StreamingDetector", frames, anchor: str = "trail"):
+    """Run one video's frames through `detector`; yield (frame_index, dets).
+
+    anchor='trail'  — dets for the window ENDING at each frame (zero
+    latency, the live-serving mode; the head of the stream is left-padded
+    with the first frame).
+
+    anchor='center' — dets for the window CENTERED on each frame, clamped
+    at the clip bounds by edge repetition.  This is bit-identical to the
+    reference's per-frame window sampler (imgnetvid.py:480-506: frame m
+    gets frames m-half..m+half with `max(0, .)`/`min(len-1, .)` clamping;
+    data/imgnetvid.py:297-315 here), i.e. the exact predictions the
+    windowed detect path produces for every frame of the clip — at ONE
+    backbone pass per frame instead of k.  Emission lags k-1-k//2 frames
+    behind the input; the clip tail is flushed by re-feeding the last frame
+    (which IS the reference's upper clamp).  Exactly len(frames) pairs come
+    out either way.
+    """
+    assert anchor in ("trail", "center")
+    lag = detector.k - 1 - detector.k // 2 if anchor == "center" else 0
+    last = None
+    j = 0
+    for f in frames:
+        dets = detector.reset(f) if j == 0 else detector.step(f)
+        last = f
+        if j >= lag:
+            yield j - lag, dets
+        j += 1
+    if j == 0:
+        return
+    for _ in range(lag):
+        dets = detector.step(last)
+        if j >= lag:
+            yield j - lag, dets
+        j += 1
+
+
 def export_streaming_detector(
     model,
     variables,
@@ -217,26 +320,29 @@ def export_streaming_detector(
     platforms: Optional[Tuple[str, ...]] = None,
 ) -> str:
     """Serialize the pure streaming step as a StableHLO artifact:
-    call(buf1, buf2, buf3, frame) -> (buf1', buf2', buf3', ids, scores,
-    boxes), weights baked in.  The caller owns the carry — seed it with
-    `load_streaming_detector(path).init(frame)` semantics (replicate a
-    first-frame embed, or zeros).  Returns `path`."""
+    call(*bufs, frame) -> (*bufs', ids, scores, boxes), weights baked in
+    (three route buffers for YOLOv3T / plain-t_out YOLOv3Temporal, one
+    stage1 buffer for the corr-pyramid/funnel paths; `in_avals[:-1]` on the
+    loaded artifact are the buffer shapes).  The caller owns the carry —
+    seed it with a replicated first-frame embed, or zeros.  Returns
+    `path`."""
     _check_streamable(model)
     embed_fn, step_fn = make_streaming_step(
         model, variables, nms_thresh=nms_thresh, nms_topk=nms_topk,
         post_nms=post_nms,
     )
+    k = model.k if type(model) is YOLOv3T else model.t
     dtype = input_dtype or jnp.float32
     frame = jax.ShapeDtypeStruct((batch_size, size, size, 3), dtype)
     route_shapes = jax.eval_shape(embed_fn, frame)
     bufs = tuple(
-        jax.ShapeDtypeStruct((batch_size, model.k) + r.shape[1:], r.dtype)
+        jax.ShapeDtypeStruct((batch_size, k) + r.shape[1:], r.dtype)
         for r in route_shapes
     )
 
-    def flat_step(b1, b2, b3, images):
-        (n1, n2, n3), (ids, scores, boxes) = step_fn((b1, b2, b3), images)
-        return n1, n2, n3, ids, scores, boxes
+    def flat_step(*args):
+        nbufs, (ids, scores, boxes) = step_fn(tuple(args[:-1]), args[-1])
+        return (*nbufs, ids, scores, boxes)
 
     exported = jax.export.export(
         jax.jit(flat_step), platforms=list(platforms) if platforms else None
@@ -247,9 +353,9 @@ def export_streaming_detector(
 
 
 def load_streaming_detector(path: str) -> Callable:
-    """Load a streaming artifact -> callable(buf1, buf2, buf3, frame) ->
-    (buf1', buf2', buf3', ids, scores, boxes).  Buffer shapes/dtypes are on
-    `.in_avals` of the deserialized export; zeros are a valid seed."""
+    """Load a streaming artifact -> callable(*bufs, frame) ->
+    (*bufs', ids, scores, boxes).  Buffer shapes/dtypes are `.in_avals[:-1]`
+    of the deserialized export; zeros are a valid seed."""
     with open(path, "rb") as f:
         exported = jax.export.deserialize(f.read())
     call = jax.jit(exported.call)
