@@ -102,6 +102,14 @@ flags.DEFINE_enum(
     "(reference window sampler) at 1/k backbone cost, emitted k//2 frames "
     "late.",
 )
+flags.DEFINE_integer(
+    "mesh_spatial", 1,
+    "Shard the image H axis this many ways across the device mesh on top of "
+    "the batch split (GSPMD spatial partitioning with automatic halo "
+    "exchange, parallel/mesh.py) — latency over throughput when chips "
+    "outnumber the batch.  Must divide the device count; needs "
+    "data_shape/32 >= 3 (parallel/mesh.assert_spatial_safe).",
+)
 flags.DEFINE_integer("num_workers", 8, "Data loading workers.")
 flags.DEFINE_boolean("new_model", False, "Use features Yolo (new) or stages Yolo (old)?")
 flags.DEFINE_integer("offset", 0, "If mult_out, the offset to test: -2..2")
@@ -419,15 +427,24 @@ def detect(model, variables, dataset, loader, max_do=-1):
     the TPU-native form of the reference's per-GPU `split_and_load` detect
     loop (reference detect_yolo3.py:211-222); tail batches are padded to a
     shardable multiple and the padding dropped on the host side (the
-    reference's `even_split=False`)."""
+    reference's `even_split=False`).  --mesh_spatial k additionally shards
+    the image H axis k-way (GSPMD spatial partitioning, parallel/mesh.py) —
+    latency over throughput when chips outnumber the batch."""
     import jax
 
     from videoyolo_tpu.models.yolo3 import postprocess
-    from videoyolo_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+    from videoyolo_tpu.parallel.mesh import (
+        assert_spatial_safe,
+        make_2d_mesh,
+        replicated_sharding,
+        shard_batch,
+    )
 
     shape = FLAGS.data_shape
-    mesh = make_mesh()
+    assert_spatial_safe(shape, FLAGS.mesh_spatial)
+    mesh = make_2d_mesh(spatial=FLAGS.mesh_spatial)
     n_dev = len(mesh.devices.flat)
+    n_data = n_dev // FLAGS.mesh_spatial
     if n_dev > 1:
         variables = jax.device_put(variables, replicated_sharding(mesh))
 
@@ -458,7 +475,7 @@ def detect(model, variables, dataset, loader, max_do=-1):
         imgs = batch["image"]
         n = imgs.shape[0]
         if n_dev > 1:
-            pad = (-n) % n_dev
+            pad = (-n) % n_data
             if pad:
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
             with mesh:
