@@ -8,3 +8,4 @@ from .mesh import (  # noqa: F401
     shard_batch,
 )
 from .tp import tp_shardings, shard_variables_tp  # noqa: F401
+from .pp import PipelinedDetector, split_backbone_variables  # noqa: F401
