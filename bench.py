@@ -294,7 +294,7 @@ def bench_temporal():
     (B=32) and YOLOv3Temporal t=5 w/ t_out + corr pyramid (B=16) — the
     PARITY.md configs, folded NMS included."""
     from videoyolo_tpu.models.factory import YoloConfig, build_model
-    from videoyolo_tpu.models.yolo3 import postprocess
+    from videoyolo_tpu.models.yolo3 import postprocess_tout
 
     def run(cfg, b, k):
         model = build_model(cfg)
@@ -310,11 +310,7 @@ def bench_temporal():
         @jax.jit
         def step(im):
             boxes, scores = model.apply(variables, im, train=False)
-            if boxes.ndim == 4:
-                bt = boxes.shape[0] * boxes.shape[1]
-                boxes = boxes.reshape((bt,) + boxes.shape[2:])
-                scores = scores.reshape((bt,) + scores.shape[2:])
-            return postprocess(boxes, scores)
+            return postprocess_tout(boxes, scores)
 
         jax.device_get(step(x)[0])
         jax.device_get(step(x)[0])

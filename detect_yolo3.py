@@ -149,19 +149,22 @@ def get_dataset(dataset_name):
     if ds == "vid":
         from videoyolo_tpu.data.imgnetvid import ImageNetVidDetection
 
-        window = [int(w) for w in FLAGS.window]
+        # --stream builds its own sliding windows from the device ring
+        # buffer: the dataset must yield SINGLE frames in clip order, not
+        # pre-stacked (k,H,W,3) windows (the model still takes --window k)
+        window = [1, 1] if FLAGS.stream else [int(w) for w in FLAGS.window]
         return ImageNetVidDetection(
             root=os.path.join(FLAGS.dataset_root, "ImageNetVID", "ILSVRC"),
             splits=[(2017, "val")],
             every=int(FLAGS.every),
             window=window,
-            mult_out=FLAGS.mult_out,
+            mult_out=FLAGS.mult_out and not FLAGS.stream,
             inference=True,
         )
     if ds == "yt":
         from videoyolo_tpu.data.youtubebb import YouTubeBBDetection
 
-        window = [int(w) for w in FLAGS.window]
+        window = [1, 1] if FLAGS.stream else [int(w) for w in FLAGS.window]
         return YouTubeBBDetection(
             root=os.path.join(FLAGS.dataset_root, "YouTubeBB"),
             splits=["val"],
@@ -432,7 +435,7 @@ def detect(model, variables, dataset, loader, max_do=-1):
     latency over throughput when chips outnumber the batch."""
     import jax
 
-    from videoyolo_tpu.models.yolo3 import postprocess
+    from videoyolo_tpu.models.yolo3 import postprocess_tout
     from videoyolo_tpu.parallel.mesh import (
         assert_spatial_safe,
         make_2d_mesh,
@@ -451,19 +454,8 @@ def detect(model, variables, dataset, loader, max_do=-1):
     @jax.jit
     def step(images):
         boxes, scores = model.apply(variables, images, train=False)
-        if boxes.ndim == 4:  # mult_out (B, T, N, ...): fold T into batch for NMS
-            b, t = boxes.shape[0], boxes.shape[1]
-            ids, sc, bb = postprocess(
-                boxes.reshape((b * t,) + boxes.shape[2:]),
-                scores.reshape((b * t,) + scores.shape[2:]),
-                nms_thresh=0.45,
-                nms_topk=400,
-            )
-            ids = ids.reshape((b, t) + ids.shape[1:])
-            sc = sc.reshape((b, t) + sc.shape[1:])
-            bb = bb.reshape((b, t) + bb.shape[1:])
-        else:
-            ids, sc, bb = postprocess(boxes, scores, nms_thresh=0.45, nms_topk=400)
+        # mult_out (B, T, N, ...) folds T into the batch for NMS and unfolds
+        ids, sc, bb = postprocess_tout(boxes, scores, nms_thresh=0.45, nms_topk=400)
         return ids, sc, bb.clip(0, shape)
 
     def collect(out_dict, file, ids_i, sc_i, bb_i):
@@ -522,6 +514,15 @@ def _file_id(dataset, img_path, save_dir):
     return os.path.splitext(os.path.basename(img_path))[0]
 
 
+def _mult_out_layout():
+    """True when predictions use the 5-offset list-of-dicts layout (windowed
+    mult_out detection, one pred_o{t} cache dir per offset).  --stream emits
+    exactly one prediction per frame — the anchor frame's own offset — so
+    its predictions/cache/eval use the flat single-dict layout even when the
+    model is t_out (FLAGS.mult_out picks the model head, not the layout)."""
+    return FLAGS.mult_out and not FLAGS.stream
+
+
 def _pred_dirname(agnostic, offset=None):
     base = "pred_ag" if agnostic else "pred"
     if offset is not None:
@@ -532,7 +533,7 @@ def _pred_dirname(agnostic, offset=None):
 def save_predictions(save_dir, dataset, boxes, max_do=-1, agnostic=False):
     """pred/*.txt cache, reference format (detect_yolo3.py:275-331); with
     mult_out, one pred_o{t} dir per window offset (:291-300)."""
-    if FLAGS.mult_out:
+    if _mult_out_layout():
         for off, b in enumerate(boxes):
             _save_predictions_dict(
                 os.path.join(save_dir, _pred_dirname(agnostic, off)), dataset, b, max_do,
@@ -565,7 +566,7 @@ def _save_predictions_dict(save_dir, dataset, boxes, max_do, paths):
 def load_predictions(save_dir, dataset, max_do=-1, agnostic=False):
     """Reload the txt cache; None if any file missing
     (detect_yolo3.py:333-448)."""
-    if FLAGS.mult_out:
+    if _mult_out_layout():
         all_boxes = []
         for off in range(5):
             b = _load_predictions_dict(
@@ -671,7 +672,7 @@ def add_metrics_to_predictions(save_dir, dataset, metric, predictions):
         if isinstance(img_path, list):
             img_path = img_path[FLAGS.offset + 2]
         img, y, _ = dataset[idx]
-        if FLAGS.mult_out:
+        if _mult_out_layout():
             img, y = img[FLAGS.offset + 2], y[FLAGS.offset + 2]
         h, w = img.shape[0], img.shape[1]
         preds = np.asarray(
@@ -971,7 +972,7 @@ def main(_argv):
         dataset._transform = None
         predictions = boxes
 
-    if FLAGS.mult_out:
+    if _mult_out_layout():
         eval_predictions = predictions[FLAGS.offset + 2]
     else:
         eval_predictions = predictions

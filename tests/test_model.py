@@ -216,6 +216,42 @@ def test_postprocess_levels_matches_single_pass():
         np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-6)
 
 
+def test_postprocess_tout_folds_per_timestep():
+    """postprocess_tout on (B,T,N,...) equals postprocess run on each
+    timestep independently (the shared fold every t_out call site uses),
+    and passes (B,N,...) straight through."""
+    from videoyolo_tpu.models.yolo3 import postprocess, postprocess_tout
+
+    rs = np.random.RandomState(13)
+    b, t, n, c = 2, 3, 150, 4
+    scores = rs.uniform(0, 1, (b, t, n, c)).astype(np.float32)
+    x1 = rs.uniform(0, 200, (b, t, n, 1)); y1 = rs.uniform(0, 200, (b, t, n, 1))
+    boxes = np.concatenate(
+        [x1, y1, x1 + rs.uniform(5, 80, (b, t, n, 1)),
+         y1 + rs.uniform(5, 80, (b, t, n, 1))], axis=-1,
+    ).astype(np.float32)
+
+    got = postprocess_tout(jnp.asarray(boxes), jnp.asarray(scores),
+                           nms_topk=50, post_nms=20)
+    assert got[0].shape[:2] == (b, t)
+    for bi in range(b):
+        for ti in range(t):
+            want = postprocess(jnp.asarray(boxes[bi:bi + 1, ti]),
+                               jnp.asarray(scores[bi:bi + 1, ti]),
+                               nms_topk=50, post_nms=20)
+            for w, g in zip(want, got):
+                np.testing.assert_allclose(
+                    np.asarray(w)[0], np.asarray(g)[bi, ti], atol=1e-6
+                )
+
+    flat = postprocess(jnp.asarray(boxes[:, 0]), jnp.asarray(scores[:, 0]),
+                       nms_topk=50, post_nms=20)
+    flat_t = postprocess_tout(jnp.asarray(boxes[:, 0]), jnp.asarray(scores[:, 0]),
+                              nms_topk=50, post_nms=20)
+    for w, g in zip(flat, flat_t):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-6)
+
+
 def test_return_levels_matches_concat_contract():
     """YOLOv3(return_levels=True) emits per-level pairs whose concatenation
     equals the default eval contract."""

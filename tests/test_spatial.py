@@ -78,6 +78,16 @@ def test_shard_batch_spatial_layout():
     assert out["gt_boxes"].addressable_shards[0].data.shape == (1, 8, 4)
 
 
+def test_shard_batch_spatial_temporal_shards_h_not_k():
+    """Temporal (B,K,H,W,C) batches spatially shard H (dim 2), never the
+    window axis K — an odd K=3 window under 2-way spatial must still
+    device_put cleanly with H halved per shard."""
+    mesh = make_2d_mesh(8, spatial=2)
+    batch = {"image": np.zeros((4, 3, S, S, 3), np.float32)}
+    out = shard_batch(batch, mesh)
+    assert out["image"].addressable_shards[0].data.shape == (1, 3, S // 2, S, 3)
+
+
 def test_detect_spatial_matches_replicated():
     """Forward + decode with the image H axis sharded 2-way (and B 4-way)
     must equal the single-sharding result: GSPMD's conv halo exchange is

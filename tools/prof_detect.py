@@ -1,6 +1,14 @@
 """Attribute detect-path time on the real chip: backbone+head fwd, decode,
-top-k candidate select, NMS — each stage timed separately at B=128/416."""
-import os, sys, time, json
+top-k candidate select, NMS — each stage timed separately at B=128/416.
+
+--s2d builds the model with the bit-equivalent space-to-depth stem
+(models/s2d.py) so the stem experiment is reproducible for bf16 detect
+(it already ships for train and composes with int8).
+
+Timing forces execution with a device_get data round-trip (the tunnel's
+block_until_ready can return early — see ROADMAP "Timing discipline").
+"""
+import os, sys, time, json, argparse
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
@@ -11,8 +19,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from videoyolo_tpu.models.yolo3 import YOLOv3, postprocess, select_topk_candidates
 from videoyolo_tpu.ops.nms import box_nms
 
-B, S = 128, 416
-model = YOLOv3(num_classes=20, dtype=jnp.bfloat16)
+ap = argparse.ArgumentParser()
+ap.add_argument("--s2d", action="store_true", help="space-to-depth stem")
+ap.add_argument("--batch", type=int, default=128)
+ap.add_argument("--size", type=int, default=416)
+args = ap.parse_args()
+
+B, S = args.batch, args.size
+model = YOLOv3(num_classes=20, dtype=jnp.bfloat16, s2d_stem=args.s2d)
 x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
 variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3), jnp.bfloat16), train=False)
 
@@ -21,13 +35,16 @@ topk = jax.jit(select_topk_candidates)
 nms = jax.jit(lambda c: box_nms(c, topk=-1))
 full = jax.jit(lambda im: postprocess(*model.apply(variables, im, train=False)))
 
+def _force(o):
+    jax.device_get(jax.tree.leaves(o)[0])
+
 def timeit(f, *args, iters=20):
-    o = f(*args); jax.block_until_ready(o)
-    o = f(*args); jax.block_until_ready(o)
+    _force(f(*args))
+    _force(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         o = f(*args)
-    jax.block_until_ready(o)
+    _force(o)
     return (time.perf_counter() - t0) / iters * 1e3
 
 boxes, scores = fwd(x)
@@ -38,6 +55,7 @@ scores_r = jnp.asarray((rs.uniform(0, 1, (B, scores.shape[1], 20)) ** 8).astype(
 cands = topk(boxes_r, scores_r)
 
 res = {
+    "s2d": args.s2d,
     "fwd_ms": timeit(fwd, x),
     "topk_ms": timeit(topk, boxes_r, scores_r),
     "nms_ms": timeit(nms, cands),

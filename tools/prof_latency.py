@@ -56,6 +56,30 @@ def measure_rtt(n=50):
     return float(np.percentile(t, 50))
 
 
+def device_chain_ms(model, variables, x, iters=20):
+    """Tunnel-proof device-side step latency: run `iters` DEPENDENT steps
+    inside one dispatch (lax.scan with a data dependency from each step's
+    detections back into the next input), so the per-step time is
+    (total - one RTT) / iters — the tunnel round-trip amortises away.
+    This is the number a directly-attached deployment sees per request."""
+    from videoyolo_tpu.models.yolo3 import postprocess
+
+    def body(im, _):
+        ids, sc, bb = postprocess(*model.apply(variables, im, train=False))
+        # zero-valued but data-dependent: forces sequential execution
+        return im + (sc.sum() * 0).astype(im.dtype), ()
+
+    f = jax.jit(lambda im: jax.lax.scan(body, im, None, length=iters)[0])
+    _force(f(x))
+    _force(f(x))
+    t = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _force(f(x))
+        t.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(t)) / iters
+
+
 def latency(step, x, n):
     _force(step(x))
     _force(step(x))
@@ -99,6 +123,7 @@ def main():
             t = latency(step, x, args.n)
             p = percentiles(t)
             p["p50_corrected_ms"] = round(max(p["p50_ms"] - rtt, 0.0), 2)
+            p["device_chain_ms"] = round(device_chain_ms(m, v, x), 2)
             results[f"b{b}_{tag}"] = p
             print(f"B={b} {tag}: {p}", flush=True)
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-from videoyolo_tpu.models.yolo3 import postprocess
+from videoyolo_tpu.models.yolo3 import postprocess_tout
 from videoyolo_tpu.models.yolo3_temporal import YOLOv3T, YOLOv3Temporal
 from videoyolo_tpu.streaming import make_streaming_step, split_temporal_variables
 
@@ -92,11 +92,7 @@ def main():
     )
 
     def _post(boxes, scores):
-        if boxes.ndim == 4:  # t_out: fold T into batch for NMS
-            b, t = boxes.shape[:2]
-            boxes = boxes.reshape((b * t,) + boxes.shape[2:])
-            scores = scores.reshape((b * t,) + scores.shape[2:])
-        return postprocess(boxes, scores)
+        return postprocess_tout(boxes, scores)
 
     # windowed: full k-frame apply per detection (weights closed over —
     # params-as-arguments costs ~4 s/call over the tunnel, ROADMAP)

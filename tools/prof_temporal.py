@@ -18,7 +18,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache2")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from videoyolo_tpu.models.factory import YoloConfig, build_model
-from videoyolo_tpu.models.yolo3 import postprocess
+from videoyolo_tpu.models.yolo3 import postprocess_tout
 
 SECTIONS = set(os.environ.get("PROF_SECTIONS", "k3,t5,corr,ts,t5q").split(","))
 
@@ -51,13 +51,7 @@ def jit_step(model, variables):
     @jax.jit
     def step(v, im):
         boxes, scores = model.apply(v, im, train=False)
-        if boxes.ndim == 4:
-            bt = boxes.shape[0] * boxes.shape[1]
-            return postprocess(
-                boxes.reshape((bt,) + boxes.shape[2:]),
-                scores.reshape((bt,) + scores.shape[2:]),
-            )
-        return postprocess(boxes, scores)
+        return postprocess_tout(boxes, scores)
     return lambda im: step(variables, im)
 
 

@@ -388,3 +388,36 @@ def postprocess_levels(
     _, idx = jax.lax.top_k(merged[..., 1], k)
     cands = jnp.take_along_axis(merged, idx[..., None], axis=1)
     return _nms_tail(cands, nms_thresh, post_nms, force_suppress)
+
+
+def postprocess_tout(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    nms_thresh: float = 0.45,
+    nms_topk: int = 400,
+    post_nms: int = 100,
+    force_suppress: bool = False,
+    select_dtype=None,
+):
+    """`postprocess` that also accepts per-timestep (t_out / mult_out)
+    outputs: (B, T, N, ...) boxes/scores fold T into the batch for the
+    top-k + NMS (each timestep is an independent image — the reference
+    runs box_nms on the folded (B*T, N, 6) tensor the same way,
+    yolo3_temporal.py:544-550) and the detections unfold back to
+    (B, T, P, ...), offset-major.  Plain (B, N, ...) inputs pass straight
+    through to `postprocess`.  The single shared fold for every t_out call
+    site (detect CLI, serving/streaming export, bench)."""
+    if boxes.ndim == 4:
+        b, t = boxes.shape[:2]
+        dets = postprocess(
+            boxes.reshape((b * t,) + boxes.shape[2:]),
+            scores.reshape((b * t,) + scores.shape[2:]),
+            nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms,
+            force_suppress=force_suppress, select_dtype=select_dtype,
+        )
+        return tuple(a.reshape((b, t) + a.shape[1:]) for a in dets)
+    return postprocess(
+        boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk,
+        post_nms=post_nms, force_suppress=force_suppress,
+        select_dtype=select_dtype,
+    )

@@ -82,15 +82,23 @@ def shard_batch(
     sharded only.
     """
     data = NamedSharding(mesh, P(axis))
-    spatial = (
-        NamedSharding(mesh, P(axis, spatial_axis))
-        if spatial_axis in mesh.axis_names and mesh.shape[spatial_axis] > 1
-        else data
-    )
+    spatial_on = spatial_axis in mesh.axis_names and mesh.shape[spatial_axis] > 1
+
+    def _spatial(x):
+        # shard H, which sits at ndim-3 in channels-last layouts: dim 1 for
+        # (B,H,W,C) frames, dim 2 for temporal (B,K,H,W,C) windows — never
+        # the window axis K
+        if not spatial_on or x.ndim < 4:
+            return data
+        spec = [None] * x.ndim
+        spec[0] = axis
+        spec[x.ndim - 3] = spatial_axis
+        return NamedSharding(mesh, P(*spec))
+
     if isinstance(batch, dict):
         return {
             k: jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, spatial if k in spatial_keys else data),
+                lambda x: jax.device_put(x, _spatial(x) if k in spatial_keys else data),
                 v,
             )
             for k, v in batch.items()

@@ -75,6 +75,10 @@ class PipelinedDetector:
         assert type(model) is YOLOv3 and model.use_backbone, (
             "pipeline serving splits the plain YOLOv3 at the route boundary"
         )
+        assert not model.return_levels, (
+            "pipeline serving owns the postprocess tail; build the model "
+            "with return_levels=False (the default)"
+        )
         if devices is None:
             devs = jax.devices()
             assert len(devs) >= 2, "pipeline parallelism needs >= 2 devices"

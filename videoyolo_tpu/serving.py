@@ -51,19 +51,18 @@ def export_detector(
     import jax
     import jax.numpy as jnp
 
-    from .models.yolo3 import postprocess
+    from .models.yolo3 import postprocess_tout
 
     dtype = input_dtype or jnp.float32
 
     def fn(images):
         boxes, scores = model.apply(variables, images, train=False)
-        if boxes.ndim == 4:  # (B, T, N, ...) t_out: fold T into batch
-            bt = boxes.shape[0] * boxes.shape[1]
-            boxes = boxes.reshape((bt,) + boxes.shape[2:])
-            scores = scores.reshape((bt,) + scores.shape[2:])
-        return postprocess(
+        dets = postprocess_tout(
             boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms
         )
+        if boxes.ndim == 4:  # artifact contract: leading dim B*window, offset-major
+            dets = tuple(a.reshape((-1,) + a.shape[2:]) for a in dets)
+        return dets
 
     in_shape = (
         (batch_size, size, size, 3)

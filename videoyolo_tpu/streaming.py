@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .models.darknet import Darknet53Stage1, DarknetStage
-from .models.yolo3 import postprocess
+from .models.yolo3 import postprocess_tout
 from .models.yolo3_temporal import YOLOv3T, YOLOv3Temporal
 
 __all__ = [
@@ -176,6 +176,24 @@ def make_streaming_step(
     (B, T, P, ...) detections, offset-major — the window's T per-frame
     outputs each step.  Both close over the (split) variables; jit-wrap at
     the call site (StreamingDetector does)."""
+    embed_fn, _head_fn, step_fn = _make_streaming_fns(
+        model, variables, nms_thresh=nms_thresh, nms_topk=nms_topk,
+        post_nms=post_nms,
+    )
+    return embed_fn, step_fn
+
+
+def _make_streaming_fns(
+    model,
+    variables,
+    nms_thresh: float = 0.45,
+    nms_topk: int = 400,
+    post_nms: int = 100,
+) -> Tuple[Callable, Callable, Callable]:
+    """(embed_fn, head_fn, step_fn): like `make_streaming_step` but also
+    exposing head_fn(buffers) -> detections (the window head + NMS on a
+    ready feature window, no embed) so reset() can score its seeded buffers
+    without a second backbone pass on the first frame."""
     _check_streamable(model)
     names = _embed_names(model)
     embed_vars, head_vars = split_temporal_variables(variables, names)
@@ -196,31 +214,22 @@ def make_streaming_step(
     def embed_fn(frame):
         return wrap(embed_model.apply(embed_vars, frame, train=False))
 
+    def head_fn(buffers):
+        boxes, scores = head_model.apply(head_vars, head_in(buffers), train=False)
+        return postprocess_tout(
+            boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk,
+            post_nms=post_nms,
+        )
+
     def step_fn(buffers, frame):
         new = embed_fn(frame)
         buffers = tuple(
             jnp.concatenate([buf[:, 1:], r[:, None]], axis=1)
             for buf, r in zip(buffers, new)
         )
-        boxes, scores = head_model.apply(head_vars, head_in(buffers), train=False)
-        if boxes.ndim == 4:  # (B, T, N, ...) t_out: fold T into batch for NMS
-            b, t = boxes.shape[:2]
-            ids, sc, bb = postprocess(
-                boxes.reshape((b * t,) + boxes.shape[2:]),
-                scores.reshape((b * t,) + scores.shape[2:]),
-                nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms,
-            )
-            dets = tuple(
-                a.reshape((b, t) + a.shape[1:]) for a in (ids, sc, bb)
-            )
-        else:
-            dets = postprocess(
-                boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk,
-                post_nms=post_nms,
-            )
-        return buffers, dets
+        return buffers, head_fn(buffers)
 
-    return embed_fn, step_fn
+    return embed_fn, head_fn, step_fn
 
 
 class StreamingDetector:
@@ -241,11 +250,12 @@ class StreamingDetector:
         post_nms: int = 100,
     ):
         self.k = model.k if type(model) is YOLOv3T else model.t
-        embed_fn, step_fn = make_streaming_step(
+        embed_fn, head_fn, step_fn = _make_streaming_fns(
             model, variables, nms_thresh=nms_thresh, nms_topk=nms_topk,
             post_nms=post_nms,
         )
         self._embed = jax.jit(embed_fn)
+        self._head = jax.jit(head_fn)
         self._step = jax.jit(step_fn)
         self._buffers = None
 
@@ -256,11 +266,10 @@ class StreamingDetector:
         self._buffers = tuple(
             jnp.repeat(r[:, None], self.k, axis=1) for r in routes
         )
-        # one step on the same frame: rolling a k×frame0 buffer and appending
-        # frame0 again leaves it k×frame0, so step()'s window semantics hold
-        # for reset()'s output too (no second code path)
-        self._buffers, dets = self._step(self._buffers, frame)
-        return dets
+        # head-only on the seeded buffers: rolling a k×frame0 buffer and
+        # appending frame0 again would leave it k×frame0, so this returns
+        # exactly what step(frame) would — without re-embedding frame0
+        return self._head(self._buffers)
 
     def step(self, frame):
         """Advance the stream one frame -> (ids, scores, boxes) for the
