@@ -295,3 +295,21 @@ def test_bf16_select_close_to_exact():
     np.testing.assert_array_equal(exact[..., 0], fast[..., 0])  # classes
     np.testing.assert_array_equal(exact[..., 2:], fast[..., 2:])  # boxes exact
     np.testing.assert_allclose(exact[..., 1], fast[..., 1], rtol=1e-2)
+
+
+def test_postprocess_topk_disabled_keeps_all_pairs():
+    """nms_topk <= 0 = NO top-k cap (reference set_nms(nms_topk=-1)): every
+    (box, class) pair above valid_thresh must survive into the NMS pool
+    (this crashed with an IndexError on a size-0 candidate set before)."""
+    from videoyolo_tpu.models.yolo3 import postprocess
+
+    rs = np.random.RandomState(14)
+    b, n, c = 1, 30, 4
+    scores = rs.uniform(0.2, 1.0, (b, n, c)).astype(np.float32)
+    x1 = rs.uniform(0, 500, (b, n, 1)); y1 = rs.uniform(0, 500, (b, n, 1))
+    # tiny spread boxes: no suppression, so everything must come through
+    boxes = np.concatenate([x1, y1, x1 + 2, y1 + 2], -1).astype(np.float32)
+    ids, sc, bb = postprocess(
+        jnp.asarray(boxes), jnp.asarray(scores), nms_topk=-1, post_nms=n * c
+    )
+    assert int((np.asarray(ids) >= 0).sum()) == n * c

@@ -123,3 +123,32 @@ def test_missing_file_falls_back_and_raises(jpeg):
     ds = _DS([jpeg, "/nonexistent/zz.jpg"] * 4, (480, 360))
     with pytest.raises(Exception):
         _run_epoch(ds, native_train=True)
+
+
+def test_mixup_forces_python_path(jpeg):
+    """MixupDetection wraps a native-capable dataset (its __getattr__
+    forwards native_train_ok), but mixup mixes image PAIRS before the
+    augmentation — the native path must be bypassed so gt_mix is a real
+    mix ratio, not the forwarded dataset's difficult column."""
+    from videoyolo_tpu.data.transforms import MixupDetection
+
+    import random
+
+    np.random.seed(7)
+    random.seed(7)
+    ds = MixupDetection(_DS([jpeg] * 16, (480, 360)))
+    loader = DetectionLoader(
+        ds, batch_size=4, shuffle=True, seed=0, num_workers=1, mixup=True,
+        transform_factory=lambda w, h: YOLO3DefaultTrainTransform(
+            w, h, device_color=True
+        ),
+        shape_sizes=[128], last_batch="discard", native_train=True,
+    )
+    batches = list(loader)
+    assert batches
+    mixed = np.concatenate([b["gt_mix"] for b in batches], axis=0)
+    valid = mixed[np.concatenate([b["gt_ids"] for b in batches], 0)[..., 0] >= 0]
+    # real beta(1.5,1.5) ratios in (0,1); the difficult column would be
+    # identically 0 for every box
+    assert valid.size and (valid > 0).all() and (valid <= 1).all()
+    assert np.unique(np.round(valid, 3)).size > 1

@@ -100,3 +100,37 @@ def test_export_temporal_t_out_folds_batch(tmp_path):
     bt = b.shape[0] * b.shape[1]
     want = postprocess(b.reshape((bt,) + b.shape[2:]), s.reshape((bt,) + s.shape[2:]))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(want[1]), rtol=1e-5, atol=1e-6)
+
+
+def test_bucketed_detector_matches_direct(small_model):
+    """BucketedDetector pads requests to fixed bucket shapes and slices the
+    pad back off: any request size must return exactly the direct apply's
+    detections (pad rows can't leak — NMS is per image)."""
+    from videoyolo_tpu.serving import BucketedDetector
+
+    model, variables = small_model
+    det = BucketedDetector(model, variables, buckets=(1, 2, 4))
+    rs = np.random.RandomState(1)
+    for n in (1, 3, 4):
+        x = jnp.asarray(rs.rand(n, 96, 96, 3).astype(np.float32))
+        got = det.detect(x)
+        want = postprocess(*model.apply(variables, x, train=False))
+        assert got[0].shape[0] == n
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-4)
+
+
+def test_bucketed_detector_chunks_large_requests(small_model):
+    """Requests beyond the largest bucket split into chunks and concatenate
+    back in order."""
+    from videoyolo_tpu.serving import BucketedDetector
+
+    model, variables = small_model
+    det = BucketedDetector(model, variables, buckets=(1, 2))
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.rand(5, 96, 96, 3).astype(np.float32))
+    got = det.detect(x)
+    want = postprocess(*model.apply(variables, x, train=False))
+    assert got[0].shape[0] == 5
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-4)

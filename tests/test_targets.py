@@ -178,3 +178,32 @@ def test_colliding_gts_later_wins_deterministically():
     cls = np.asarray(got[4])[0]
     hot = np.where(cls.max(axis=-1) > 0)[0]
     assert len(hot) == 1 and cls[hot[0], 7] == 1.0 and cls[hot[0], 3] == 0.0
+
+
+def test_edge_center_clamps_to_last_cell():
+    """A gt whose center sits exactly on the image's right/bottom edge must
+    scatter into the LAST grid cell, not alias into the next row / next
+    level's slots (floor(cx/w*grid) == grid at the boundary)."""
+    input_hw = (416, 416)
+    boxes = np.full((1, 4, 4), -1.0, np.float32)
+    ids = np.full((1, 4, 1), -1.0, np.float32)
+    # degenerate-thin box hugging the bottom-right corner: center == (416, 416)
+    boxes[0, 0] = [416.0, 416.0, 416.0, 416.0]
+    ids[0, 0, 0] = 3
+    got = prefetch_targets(
+        jnp.asarray(boxes), jnp.asarray(ids), input_hw=input_hw, num_classes=20
+    )
+    obj = np.asarray(got[0])[0, :, 0]
+    assert np.isfinite(np.asarray(got[1])).all()
+    (idx,) = np.nonzero(obj)
+    assert idx.size == 1  # exactly one slot written
+    # the slot lies INSIDE its level (no aliasing past the level end): the
+    # winner anchor picks one level; the last cell of that level owns it
+    from videoyolo_tpu.ops.targets import flat_layout
+
+    _, starts, grid_hw, _, total = flat_layout(input_hw)
+    assert idx[0] < total
+    ends = list(starts[1:]) + [total]
+    level = next(l for l, (s, e) in enumerate(zip(starts, ends)) if s <= idx[0] < e)
+    # last cell of the level = last anchors_per_level slots
+    assert idx[0] >= ends[level] - 3

@@ -87,3 +87,81 @@ def test_train_cli_one_epoch(voc_tree, tmp_path):
         if f.endswith("_0000.params")
     ]
     assert ckpts, os.listdir(os.path.join(save_dir, "0000"))
+
+
+@pytest.fixture(scope="module")
+def vid_tree(tmp_path_factory):
+    """Synthetic ImageNet-VID layout: one val==train clip, 6 frames."""
+    import cv2
+
+    from videoyolo_tpu.data.base import load_names
+
+    wn = load_names("imagenetvid_wn")
+    root = tmp_path_factory.mktemp("data_root")
+    base = root / "ImageNetVID" / "ILSVRC"
+    (base / "ImageSets" / "VID").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for split in ("train", "val"):
+        clip = f"ILSVRC2017_{split}_00000000"
+        (base / "Data" / "VID" / split / clip).mkdir(parents=True)
+        (base / "Annotations" / "VID" / split / clip).mkdir(parents=True)
+        lines = []
+        for f in range(6):
+            fname = f"{f:06d}"
+            cv2.imwrite(
+                str(base / "Data" / "VID" / split / clip / f"{fname}.JPEG"),
+                rng.randint(0, 255, (96, 128, 3), np.uint8),
+            )
+            x1 = 10 + 2 * f
+            (base / "Annotations" / "VID" / split / clip / f"{fname}.xml").write_text(
+                "<annotation><size><width>128</width><height>96</height></size>"
+                f"<object><name>{wn[0]}</name><trackid>0</trackid>"
+                f"<bndbox><xmax>{x1 + 40}</xmax><xmin>{x1}</xmin>"
+                "<ymax>80</ymax><ymin>30</ymin></bndbox></object></annotation>"
+            )
+            lines.append(f"{clip}/{fname} {f + 1}")
+        (base / "ImageSets" / "VID" / f"{split}.txt").write_text("\n".join(lines))
+    return str(root)
+
+
+def test_train_cli_vid_mult_out_temporal_validation(vid_tree, tmp_path):
+    """--temp --mult_out trains the t=5 per-frame-output model AND validates
+    through the per-timestep VOCMApMetricTemporal (reference get_dataset
+    :207-211: vid val + mult_out selects the temporal metric; validate
+    streams each offset separately instead of folding T into the batch)."""
+    save_dir = tmp_path / "exp"
+    cmd = [
+        sys.executable,
+        "train_yolov3.py",
+        "--dataset=vid",
+        f"--dataset_root={vid_tree}",
+        "--batch_size=1",
+        "--data_shape=64",
+        "--no_random_shape",
+        "--epochs=1",
+        "--val_interval=1",
+        "--save_interval=0",
+        "--every=1",
+        "--window=5,1",
+        "--temp",
+        "--mult_out",
+        "--nopretrained_cnn",
+        "--num_workers=1",
+        "--log_interval=1",
+        "--save_prefix=0000",
+        f"--experiment_root={save_dir}",
+    ]
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=3000
+    )
+    out = r.stdout + r.stderr
+    assert r.returncode == 0, out[-4000:]
+    # per-offset metric rows prove VOCMApMetricTemporal ran
+    assert "t0:" in out and "t4:" in out, out[-4000:]

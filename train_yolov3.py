@@ -37,6 +37,13 @@ flags.DEFINE_integer("save_interval", -10, "Saving parameters epoch interval; ne
 flags.DEFINE_integer("val_interval", 1, "Epoch interval for validation.")
 flags.DEFINE_string("resume", "", "Resume from previously saved parameters if not ''.")
 flags.DEFINE_integer("batch_size", 64, "Global batch size (sharded over the mesh).")
+flags.DEFINE_integer(
+    "max_boxes", 56,
+    "Fixed ground-truth rows per image in device batches (the jit shape "
+    "contract; the reference pads dynamically to the batch max). Raise for "
+    "crowded datasets (COCO images carry up to ~93 objects); the loader "
+    "doubles it automatically under --mixup and warns once on truncation.",
+)
 flags.DEFINE_integer("epochs", 200, "How many training epochs to complete")
 flags.DEFINE_integer("start_epoch", 0, "Starting epoch (resume); -1 = auto-find latest.")
 flags.DEFINE_integer("data_shape", 416, "Eval shape; training uses random shapes 320-608 unless --no_random_shape.")
@@ -217,9 +224,6 @@ def get_dataloaders(train_dataset, val_dataset):
     from videoyolo_tpu.data.transforms import (
         YOLO3DefaultInferenceTransform,
         YOLO3DefaultTrainTransform,
-    )
-
-    from videoyolo_tpu.data.transforms import (
         YOLO3VideoInferenceTransform,
         YOLO3VideoTrainTransform,
     )
@@ -300,6 +304,7 @@ def get_dataloaders(train_dataset, val_dataset):
         batch_size=train_bs,
         shuffle=True,
         last_batch="discard",
+        max_boxes=FLAGS.max_boxes,
         num_workers=num_workers,
         mixup=FLAGS.mixup,
         seed=FLAGS.seed,
@@ -320,10 +325,42 @@ def get_dataloaders(train_dataset, val_dataset):
             val_dataset._transform = YOLO3DefaultInferenceTransform(
                 FLAGS.data_shape, FLAGS.data_shape
             )
+        # multi-host: every process evaluates the FULL val set independently
+        # (identical mAP everywhere, no cross-host metric reduction needed —
+        # redundant decode is accepted; validation is a sliver of epoch
+        # time), but in LOCAL-size device batches so eval never exceeds the
+        # per-host memory footprint training was sized for
         val_loader = DetectionLoader(
-            val_dataset, batch_size=FLAGS.batch_size, num_workers=num_workers
+            val_dataset, batch_size=local_batch_size(FLAGS.batch_size, pc),
+            max_boxes=FLAGS.max_boxes, num_workers=num_workers,
         )
     return train_loader, val_loader
+
+
+def get_val_metric(val_dataset, save_prefix):
+    """Validation metric per the reference's get_dataset selection
+    (train_yolov3.py:178-226): COCO val -> COCODetectionMetric, vid val with
+    mult_out -> per-timestep VOCMApMetricTemporal, everything else (incl.
+    the combined class tree) -> VOCMApMetric at IoU 0.5 — always built over
+    the VAL dataset's classes (a --dataset_val differing from --dataset
+    evaluates in the val class space, reference :181,:197,:211)."""
+    from videoyolo_tpu.metrics import VOCMApMetric
+    from videoyolo_tpu.metrics.mscoco import COCODetectionMetric
+    from videoyolo_tpu.metrics.pascalvoc import VOCMApMetricTemporal
+
+    val_names = list(FLAGS.dataset_val or FLAGS.dataset)
+    combined = len(val_names) > 1 or val_names[0] == "comb"
+    if not combined and val_names[0] == "coco":
+        return COCODetectionMetric(
+            val_dataset, save_prefix + "_eval", cleanup=True,
+            data_shape=(FLAGS.data_shape, FLAGS.data_shape),
+        )
+    if not combined and val_names[0] == "vid" and FLAGS.mult_out:
+        return VOCMApMetricTemporal(
+            t=int(FLAGS.window[0]), iou_thresh=0.5,
+            class_names=list(val_dataset.classes),
+        )
+    return VOCMApMetric(iou_thresh=0.5, class_names=list(val_dataset.classes))
 
 
 def validate(model, state, val_loader, val_dataset, metric, eval_step):
@@ -334,26 +371,37 @@ def validate(model, state, val_loader, val_dataset, metric, eval_step):
     per call would miss the jit cache and recompile the full model at every
     validation epoch, so there is deliberately no fallback path."""
     metric.reset()
+    temporal_metric = hasattr(metric, "update_t")
     for batch in val_loader:
         x = tuple(batch["features"]) if "features" in batch else batch["image"]
         ids, scores, bboxes = eval_step(state.params, state.batch_stats, x)
         ids, scores, bboxes = np.asarray(ids), np.asarray(scores), np.asarray(bboxes)
         label = batch["label"]
-        if ids.ndim == 4:  # t_out: fold the per-frame axis into the batch
-            bt = ids.shape[0] * ids.shape[1]
-            ids, scores, bboxes = (
-                a.reshape((bt,) + a.shape[2:]) for a in (ids, scores, bboxes)
-            )
-            batch = dict(batch, label=label.reshape((bt,) + label.shape[2:]))
         size = (
             batch["image"].shape[-2]
             if "image" in batch
             else batch["features"][0].shape[-2] * 8
         )
-        bboxes = bboxes.clip(0, size)
-        label = batch["label"]
+        if ids.ndim == 4:  # t_out: (B, T, ...) per-frame outputs
+            if temporal_metric:
+                # per-offset streams (reference VOCMApMetricTemporal)
+                metric.update(
+                    [bboxes[:, t].clip(0, size) for t in range(ids.shape[1])],
+                    [ids[:, t] for t in range(ids.shape[1])],
+                    [scores[:, t] for t in range(ids.shape[1])],
+                    [label[:, t, :, :4] for t in range(ids.shape[1])],
+                    [label[:, t, :, 4:5] for t in range(ids.shape[1])],
+                    [label[:, t, :, 5:6] for t in range(ids.shape[1])]
+                    if label.shape[-1] > 5 else None,
+                )
+                continue
+            bt = ids.shape[0] * ids.shape[1]
+            ids, scores, bboxes = (
+                a.reshape((bt,) + a.shape[2:]) for a in (ids, scores, bboxes)
+            )
+            label = label.reshape((bt,) + label.shape[2:])
         metric.update(
-            bboxes, ids, scores,
+            bboxes.clip(0, size), ids, scores,
             label[..., :4], label[..., 4:5],
             label[..., 5:6] if label.shape[-1] > 5 else None,
         )
@@ -363,7 +411,6 @@ def validate(model, state, val_loader, val_dataset, metric, eval_step):
 def train(model, variables, train_dataset, train_loader, val_loader, val_dataset, save_prefix, start_epoch):
     import jax
 
-    from videoyolo_tpu.metrics import VOCMApMetric
     from videoyolo_tpu.parallel.mesh import make_mesh, replicated_sharding
     from videoyolo_tpu.parallel.multihost import put_global_batch
     from videoyolo_tpu.train.checkpoint import save_params
@@ -444,13 +491,18 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
 
     best_map = 0.0
     best_log = save_prefix + "_best_map.log"
-    if os.path.exists(best_log):  # restore best (reference :559-564)
+    # restore best only when RESUMING (reference gates on FLAGS.resume,
+    # :559-564): a fresh run over a leftover best_map.log (e.g. the "0000"
+    # scratch prefix that bypasses the overwrite guard) must not inherit a
+    # stale bar that suppresses _best.params saves
+    resuming = bool(FLAGS.resume) or FLAGS.start_epoch != 0
+    if resuming and os.path.exists(best_log):  # restore best (reference :559-564)
         with open(best_log) as f:
             lines = [l for l in f if l.strip()]
             if lines:
                 best_map = float(lines[-1].split("\t")[-1])
 
-    metric = VOCMApMetric(iou_thresh=0.5, class_names=list(train_dataset.classes))
+    metric = get_val_metric(val_dataset, save_prefix)
     global_step = start_epoch * steps_per_epoch
 
     for epoch in range(start_epoch, FLAGS.epochs):
@@ -592,51 +644,36 @@ def _load_pretrained_base(variables, conv_types, example, seed):
             "scope (YOLOv3Temporal builds its base inline); pass "
             "--nopretrained_cnn or warm-start via --resume."
         )
-    if FLAGS.s2d_stem:
-        # load into a scratch standard Darknet53 tree, refold the stem
-        # kernels into the s2d layout (models/s2d.py), then install
+    if FLAGS.s2d_stem or any(int(c) != 2 for c in conv_types):
+        # non-standard backbone layout: load the 2D weights into a scratch
+        # standard Darknet53 tree, transform (s2d stem refold — models/
+        # s2d.py — or 2D->3D inflation, reference three_darknet.py:274-318),
+        # then install the transformed subtree
         import jax
         import jax.numpy as jnp
 
         from videoyolo_tpu.models.darknet import Darknet53
-        from videoyolo_tpu.models.s2d import refold_stem_s2d
 
-        d2 = Darknet53()
         hw = tuple(example.shape[-3:-1])
-        v2 = d2.init(
+        v2 = Darknet53().init(
             jax.random.PRNGKey(seed), jnp.zeros((1,) + hw + (3,), jnp.float32), False
         )
         v2 = load_gluon_darknet53(dict(v2), path, prefix="")
-        v2 = refold_stem_s2d(v2)
-        variables = {
-            k: dict(v) if hasattr(v, "items") else v for k, v in variables.items()
-        }
-        variables["params"] = dict(variables["params"])
-        variables["batch_stats"] = dict(variables["batch_stats"])
-        variables["params"]["backbone"] = v2["params"]
-        variables["batch_stats"]["backbone"] = v2["batch_stats"]
-    elif any(int(c) != 2 for c in conv_types):
-        # 3D/2+1D base: load the 2D weights into a scratch Darknet53 tree,
-        # then inflate (reference three_darknet.py:274-318)
-        import jax
-        import jax.numpy as jnp
+        if FLAGS.s2d_stem:
+            from videoyolo_tpu.models.s2d import refold_stem_s2d
 
-        from videoyolo_tpu.models.darknet import Darknet53
-        from videoyolo_tpu.models.inflate import inflate_darknet53_to_3d
+            sub = refold_stem_s2d(v2)
+        else:
+            from videoyolo_tpu.models.inflate import inflate_darknet53_to_3d
 
-        d2 = Darknet53()
-        hw = tuple(example.shape[-3:-1])
-        v2 = d2.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1,) + hw + (3,), jnp.float32), False
-        )
-        v2 = load_gluon_darknet53(dict(v2), path, prefix="")
-        sub = {
-            "params": variables["params"]["backbone"],
-            "batch_stats": variables["batch_stats"]["backbone"],
-        }
-        sub = inflate_darknet53_to_3d(
-            v2, sub, tuple(int(c) for c in conv_types)
-        )
+            sub = inflate_darknet53_to_3d(
+                v2,
+                {
+                    "params": variables["params"]["backbone"],
+                    "batch_stats": variables["batch_stats"]["backbone"],
+                },
+                tuple(int(c) for c in conv_types),
+            )
         variables = {
             k: dict(v) if hasattr(v, "items") else v for k, v in variables.items()
         }

@@ -35,12 +35,32 @@ import numpy as np
 __all__ = ["pad_labels", "collate_detection", "DetectionLoader"]
 
 
+_truncation_warned = False
+
+
 def pad_labels(labels: Sequence[np.ndarray], max_boxes: int) -> np.ndarray:
-    """Stack variable-length (N_i, D) labels into (B, max_boxes, D), -1 pad."""
+    """Stack variable-length (N_i, D) labels into (B, max_boxes, D), -1 pad.
+
+    The fixed row count is the jit shape contract (the reference pads
+    dynamically to the batch max, Pad(-1)); images with more than
+    `max_boxes` objects are truncated with a one-time warning — raise the
+    loader's max_boxes (train CLI: --max_boxes) for crowded datasets."""
+    global _truncation_warned
     d = max((l.shape[1] for l in labels if l.size), default=6)
     out = np.full((len(labels), max_boxes, d), -1.0, np.float32)
     for i, l in enumerate(labels):
         n = min(len(l), max_boxes)
+        if len(l) > max_boxes and not _truncation_warned:
+            _truncation_warned = True
+            import warnings
+
+            warnings.warn(
+                f"ground-truth labels truncated: an image carries {len(l)} "
+                f"boxes > max_boxes={max_boxes}; excess boxes are dropped "
+                "from targets/eval — raise max_boxes (--max_boxes) to fit "
+                "the dataset's most crowded image",
+                stacklevel=2,
+            )
         if n:
             out[i, :n, : l.shape[1]] = l[:n]
     return out
@@ -142,7 +162,9 @@ class DetectionLoader:
         self._batch_size = batch_size
         self._shuffle = shuffle
         self._last_batch = last_batch
-        self._max_boxes = max_boxes
+        # mixup vstacks two images' labels into one row set — double the
+        # fixed pad so the mixed pair fits what either image alone would
+        self._max_boxes = max_boxes * 2 if mixup else max_boxes
         self._num_workers = max(1, num_workers)
         self._prefetch = max(1, prefetch)
         self._mixup = mixup
@@ -224,6 +246,12 @@ class DetectionLoader:
             }
         if (
             self._native_train
+            # mixup mixes image PAIRS before augmentation (MixupDetection
+            # wraps the dataset, whose __getattr__ would happily forward
+            # native_train_ok/label_and_size from the wrapped dataset and
+            # silently skip the mixing — and the collate would then read
+            # the difficult column as the mix ratio): python path only
+            and not self._mixup
             and transform is not None
             and hasattr(transform, "plan")
             and getattr(transform, "_device_color", False)

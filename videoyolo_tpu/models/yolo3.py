@@ -350,12 +350,15 @@ def postprocess(
 ):
     """Candidates -> NMS -> (ids, scores, bboxes), the reference's inference
     return contract (yolo3.py:523-534).  ids/scores: (B,P,1); bboxes (B,P,4).
-    Set nms_thresh outside (0,1) to disable NMS (set_nms parity).
+    Set nms_thresh outside (0,1) to disable NMS, and nms_topk <= 0 for NO
+    top-k cap — all (box, class) pairs become candidates, materialising the
+    full N*C set exactly like the reference's box_nms(topk=-1) (set_nms
+    parity, yolo3.py:394-396).
     `select_dtype=jnp.bfloat16` opts into the half-traffic bf16 score
     selection (see select_topk_candidates)."""
+    topk = nms_topk if nms_topk > 0 else boxes.shape[1] * scores.shape[-1]
     cands = select_topk_candidates(
-        boxes, scores, topk=nms_topk if nms_topk > 0 else 0,
-        select_dtype=select_dtype,
+        boxes, scores, topk=topk, select_dtype=select_dtype,
     )
     return _nms_tail(cands, nms_thresh, post_nms, force_suppress)
 

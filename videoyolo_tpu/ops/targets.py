@@ -98,8 +98,13 @@ def _prefetch_single(
     gh_l = grid_hw[level, 0].astype(jnp.float32)
     gw_l = grid_hw[level, 1].astype(jnp.float32)
 
-    loc_x = jnp.floor(cx / orig_w * gw_l).astype(jnp.int32)
-    loc_y = jnp.floor(cy / orig_h * gh_l).astype(jnp.int32)
+    # clamp to the last cell: a gt center on the image's right/bottom edge
+    # (or float32 rounding of cx/orig_w*gw pushing past it) would otherwise
+    # compute loc == grid size and alias the scatter into the next row /
+    # next level's first slots (the reference's numpy indexing would raise;
+    # the clamped cell is the one that contains the center)
+    loc_x = jnp.clip(jnp.floor(cx / orig_w * gw_l), 0, gw_l - 1).astype(jnp.int32)
+    loc_y = jnp.clip(jnp.floor(cy / orig_h * gh_l), 0, gh_l - 1).astype(jnp.int32)
 
     flat = (
         level_starts[level]

@@ -20,9 +20,9 @@ t_out outputs come back offset-major with leading dim B*k).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
-__all__ = ["export_detector", "load_detector"]
+__all__ = ["export_detector", "load_detector", "BucketedDetector"]
 
 
 def export_detector(
@@ -87,3 +87,92 @@ def load_detector(path: str) -> Callable:
     with open(path, "rb") as f:
         exported = jax.export.deserialize(f.read())
     return jax.jit(exported.call)
+
+
+class BucketedDetector:
+    """Dynamic-batching serving wrapper: requests of ANY batch size run
+    through a small fixed set of compiled step shapes.
+
+    XLA compiles one executable per input shape, so a serving frontend that
+    forwards raw request batches recompiles (20-40 s on TPU) for every new
+    size it sees.  This wrapper pads each request up to the smallest bucket
+    that fits (chunking requests larger than the biggest bucket), so at most
+    `len(buckets)` compilations ever happen — the standard fixed-shape
+    serving contract.  Padding is sliced back off before returning; NMS is
+    batched per image, so pad rows cannot influence real detections (locked
+    by tests/test_serving.py).
+
+    Works with any model/variables pair the one-shot export supports —
+    f32/bf16, the int8 variants, and temporal windows ((B, k, S, S, 3)
+    inputs batch on dim 0 the same way).  Buckets compile lazily on first
+    use; pass `warmup=True` to compile all of them up front (serving wants
+    the compile hit at deploy time, not on the first odd-sized request).
+
+        det = BucketedDetector(model, variables)
+        ids, scores, boxes = det.detect(images)   # any leading batch size
+    """
+
+    def __init__(
+        self,
+        model,
+        variables: Dict[str, Any],
+        buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128),
+        nms_thresh: float = 0.45,
+        nms_topk: int = 400,
+        post_nms: int = 100,
+        warmup_example: Any = None,
+    ):
+        import jax
+
+        from .models.yolo3 import postprocess_tout
+
+        assert buckets and all(b > 0 for b in buckets)
+        self._buckets = sorted(set(int(b) for b in buckets))
+
+        def fn(images):
+            boxes, scores = model.apply(variables, images, train=False)
+            return postprocess_tout(
+                boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk,
+                post_nms=post_nms,
+            )
+
+        self._step = jax.jit(fn)  # one jit; per-shape executables cached
+        if warmup_example is not None:
+            for b in self._buckets:
+                jax.block_until_ready(self._step(self._pad(warmup_example, b)))
+
+    @staticmethod
+    def _pad(images, bucket: int):
+        import jax.numpy as jnp
+
+        n = images.shape[0]
+        if n == bucket:
+            return images
+        pad = jnp.zeros((bucket - n,) + images.shape[1:], images.dtype)
+        return jnp.concatenate([jnp.asarray(images), pad], axis=0)
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if b >= n:
+                return b
+        return self._buckets[-1]
+
+    def detect(self, images):
+        """(B, ...) images, any B >= 1 -> (ids, scores, boxes) with leading
+        dim B.  Requests beyond the largest bucket are chunked."""
+        import jax.numpy as jnp
+
+        n = images.shape[0]
+        assert n >= 1, "empty request"
+        biggest = self._buckets[-1]
+        outs = []
+        i = 0
+        while i < n:
+            take = min(biggest, n - i)
+            b = self._bucket_for(take)
+            res = self._step(self._pad(images[i : i + take], b))
+            outs.append(tuple(r[:take] for r in res))
+            i += take
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))

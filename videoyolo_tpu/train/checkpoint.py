@@ -111,10 +111,16 @@ def _epoch_of(path: str) -> int:
 
 
 def find_latest(save_dir: str) -> Optional[str]:
-    """Latest epoch checkpoint in a dir (resume start_epoch=-1 behaviour)."""
+    """Latest epoch checkpoint in a dir (resume start_epoch=-1 behaviour).
+
+    Matches every *.params whose suffix parses as an epoch — the reference
+    globs '*_0*.params' and documents that it "requires the first digit of
+    epoch in save string is a 0" (train_yolov3.py:319-325), which silently
+    misses e.g. _1111.params; the _epoch_of filter already excludes
+    _best.params, so the wider glob is strictly safer."""
     files = [
         f
-        for f in glob.glob(os.path.join(save_dir, "*_0*.params"))
+        for f in glob.glob(os.path.join(save_dir, "*.params"))
         if _epoch_of(f) >= 0
     ]
     if not files:

@@ -29,7 +29,7 @@ from flax.core import FrozenDict
 from ..ops.color import apply_color
 from ..ops.losses import yolo3_loss
 from ..ops.targets import merge_targets, prefetch_targets
-from ..models.yolo3 import postprocess
+from ..models.yolo3 import postprocess_tout
 
 __all__ = [
     "TrainState",
@@ -288,17 +288,8 @@ def make_eval_step(
         boxes, scores = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
-        if boxes.ndim == 4:  # t_out: fold per-frame axis through the NMS
-            b, t = boxes.shape[0], boxes.shape[1]
-            outs = postprocess(
-                boxes.reshape((b * t,) + boxes.shape[2:]),
-                scores.reshape((b * t,) + scores.shape[2:]),
-                nms_thresh=nms_thresh,
-                nms_topk=nms_topk,
-                post_nms=post_nms,
-            )
-            return tuple(o.reshape((b, t) + o.shape[1:]) for o in outs)
-        return postprocess(
+        # t_out (B,T,...) outputs fold through the shared helper
+        return postprocess_tout(
             boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms
         )
 
