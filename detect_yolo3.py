@@ -772,6 +772,8 @@ def visualise_predictions(save_dir, dataset, trained_on_classes, predictions):
     os.makedirs(out_dir, exist_ok=True)
     for idx in range(len(dataset)):
         img_path = dataset.sample_path(idx)
+        if isinstance(img_path, list):  # windowed mult_out: visualise the
+            img_path = img_path[FLAGS.offset + 2]  # evaluated offset's frame
         img = read_image(img_path)
         preds = np.asarray(predictions.get(img_path, np.zeros((0, 6))))
         if len(preds):
@@ -786,15 +788,20 @@ def visualise_predictions(save_dir, dataset, trained_on_classes, predictions):
             )
         if FLAGS.display_gt and hasattr(dataset, "_load_label"):
             gt = dataset._load_label(idx)
+            if isinstance(gt, list):  # mult_out: per-frame label list
+                gt = gt[FLAGS.offset + 2]
+            gt = np.asarray(gt)
             gt = gt[gt[:, 4] >= 0] if gt.size else gt
             if len(gt):
                 img = cv_plot_bbox(
                     img, gt[:, :4], labels=gt[:, 4],
                     class_names=getattr(dataset, "classes", None) or None,
                 )
-        cv2.imwrite(
-            os.path.join(out_dir, os.path.basename(img_path)), img[:, :, ::-1]
-        )
+        # keep the clip subdir for video datasets (same id scheme as the
+        # pred cache): basenames collide across clips, and video_of_worst
+        # globs vis/<clip>/** to assemble each clip's frames
+        fid = _file_id(dataset, img_path, out_dir)
+        cv2.imwrite(os.path.join(out_dir, fid + ".jpg"), img[:, :, ::-1])
     return out_dir
 
 
@@ -839,11 +846,11 @@ def evaluate(metrics, dataset, predictions):
     for idx in range(len(dataset)):
         img_path = dataset.sample_path(idx)
         sid = sample_ids[idx]
-        if FLAGS.mult_out:
+        if _mult_out_layout():  # windowed mult_out; --stream is per-frame flat
             sid = sid[FLAGS.offset + 2]
             img_path = img_path[FLAGS.offset + 2]
         img, y, _ = dataset[idx]
-        if FLAGS.mult_out:
+        if _mult_out_layout():
             img = img[FLAGS.offset + 2]
             y = y[FLAGS.offset + 2]
         h, w = img.shape[0], img.shape[1]
@@ -990,11 +997,15 @@ def main(_argv):
             save_dir, dataset, metric, eval_predictions
         )
         if FLAGS.worst_video_path:
-            video_of_worst(
-                FLAGS.worst_video_path,
-                os.path.join(FLAGS.dataset_root, "frames"),
-                summary_path,
-            )
+            # the worst-clips video renders the ANNOTATED frames from the
+            # vis dir (reference detect_yolo3.py:906 passes save_dir/vis);
+            # build them if --visualise didn't already
+            vis_dir = os.path.join(save_dir, "vis")
+            if not os.path.isdir(vis_dir):
+                vis_dir = visualise_predictions(
+                    save_dir, dataset, classes, eval_predictions
+                )
+            video_of_worst(FLAGS.worst_video_path, vis_dir, summary_path)
 
     if FLAGS.visualise:
         visualise_predictions(save_dir, dataset, classes, eval_predictions)

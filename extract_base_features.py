@@ -41,14 +41,17 @@ flags.DEFINE_integer("num_workers", 8, "Data loading workers.")
 def get_dataset(dataset_name):
     from videoyolo_tpu.data import DetectSet, VOCDetection
 
-    name = dataset_name.lower() if isinstance(dataset_name, str) else dataset_name
-    if name == "voc":
+    # lowercase only for KEYWORD/extension dispatch; filesystem paths must
+    # keep their case (Frame001.JPG, /data/Lists/videos.txt)
+    name = dataset_name
+    lowered = dataset_name.lower() if isinstance(dataset_name, str) else dataset_name
+    if lowered == "voc":
         return VOCDetection(
             root=os.path.join(FLAGS.dataset_root, "PascalVOC", "VOCdevkit"),
             splits=[(2007, "trainval"), (2012, "trainval")],
             inference=True,
         )
-    if name == "coco":
+    if lowered == "coco":
         from videoyolo_tpu.data.mscoco import COCODetection
 
         return COCODetection(
@@ -57,7 +60,7 @@ def get_dataset(dataset_name):
             use_crowd=False,
             inference=True,
         )
-    if name == "det":
+    if lowered == "det":
         from videoyolo_tpu.data.imgnetdet import ImageNetDetection
 
         return ImageNetDetection(
@@ -66,18 +69,22 @@ def get_dataset(dataset_name):
             allow_empty=True,
             inference=True,
         )
-    if name == "vid":
+    if lowered == "vid":
         from videoyolo_tpu.data.imgnetvid import ImageNetVidDetection
 
+        # reference frames semantics (extract_base_features.py:44-47):
+        # <1 = fraction (every 1/frames'th frame), >1 = COUNT per video
         every = max(1, int(round(1.0 / FLAGS.frames))) if 0 < FLAGS.frames < 1 else 1
+        fpv = int(FLAGS.frames) if FLAGS.frames > 1 else 0
         return ImageNetVidDetection(
             root=os.path.join(FLAGS.dataset_root, "ImageNetVID", "ILSVRC"),
             splits=[(2017, "train")],
             allow_empty=True,
             every=every,
+            frames_per_video=fpv,
             inference=True,
         )
-    if name.endswith(".txt"):
+    if lowered.endswith(".txt"):
         with open(name) as f:
             files = [l.rstrip() for l in f if l.strip()]
         if files and files[0].endswith(".mp4"):
@@ -89,9 +96,9 @@ def get_dataset(dataset_name):
                 img_list += glob.glob(frames_dir + "/**/*.jpg", recursive=True)
             return DetectSet(img_list)
         return DetectSet(files)
-    if name.endswith(".jpg"):
+    if lowered.endswith((".jpg", ".jpeg", ".png")):
         return DetectSet([name])
-    if name.endswith(".mp4"):
+    if lowered.endswith(".mp4"):
         from videoyolo_tpu.utils.video import video_to_frames
 
         frames_dir = video_to_frames(name, os.path.join("data", "tmp"))
@@ -165,10 +172,15 @@ def extract(save_dir, dataset, loader):
         for i in range(f1.shape[0]):
             idx = int(batch_idx[i])
             img_path = dataset.sample_path(idx)
-            file_id = os.path.basename(img_path)[:-4]
+            # splitext, not a fixed [:-4] slice: .JPEG/.jpeg inputs would
+            # otherwise save as "<name>.J_F1.npy" and never be found by the
+            # features_dir loaders (pascalvoc.py / imgnetvid.py strip
+            # extensions properly)
+            file_id = os.path.splitext(os.path.basename(img_path))[0]
             if FLAGS.dataset == "vid":
                 file_id = os.path.join(
-                    img_path.split(os.sep)[-2], os.path.basename(img_path)[:-5]
+                    img_path.split(os.sep)[-2],
+                    os.path.splitext(os.path.basename(img_path))[0],
                 )
                 os.makedirs(os.path.join(save_dir, img_path.split(os.sep)[-2]), exist_ok=True)
             np.save(os.path.join(save_dir, file_id + "_F1.npy"), f1[i])

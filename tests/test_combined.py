@@ -340,3 +340,58 @@ def test_dataset_stats_tables(tmp_path):
     assert isinstance(table, str) and "\t" in table
     for st in (s, dataset_stats(det)):
         assert st["nonempty"] == st["samples"]
+
+
+def test_combined_empty_placeholder_rows_stay_invalid():
+    """allow_empty subsets yield [-1,...,-1] placeholder rows; the class map
+    must keep them at -1 (a bare cmap[int(-1)] python-negative-indexes to the
+    subset's LAST class and fabricates ground truth)."""
+    d1, d2 = _datasets()
+    empty = np.full((1, 6), -1.0, np.float64)
+    d_empty = _FakeDataset(["dog"], ["n02084071"], [empty])
+
+    # validation mode: no duplicated ancestor boxes for the empty image
+    comb = CombinedDetection([d_empty, d2], class_tree=True, validation=True)
+    _, label = comb[0]
+    assert label.shape[0] == 0, label
+
+    # multi-hot train mode: the placeholder row stays all -1
+    comb = CombinedDetection([d_empty, d2], class_tree=True)
+    _, label = comb[0]
+    assert (label[0] == -1).all(), label[0]
+
+    # flat (no tree) mode: class stays -1
+    comb = CombinedDetection([d_empty, d2], class_tree=False)
+    _, label = comb[0]
+    assert label[0, 4] == -1
+
+    # heir labels skip the placeholder
+    assert comb.load_heir_labels(0) == []
+
+
+def test_youtubebb_numeric_frame_order(tmp_path):
+    """Timestamps are millisecond STRINGS: ordering must be numeric, not
+    lexicographic ('10000' < '2000' would scramble temporal windows and
+    --stream frame order)."""
+    from videoyolo_tpu.data.youtubebb import YouTubeBBDetection
+
+    root = tmp_path / "YouTubeBB"
+    root.mkdir()
+    rows = [
+        ["vidA", str(ts), "0", "person", "0", "present", "0.1", "0.5", "0.1", "0.6"]
+        for ts in range(0, 12000, 1000)
+    ]
+    with open(root / "yt_bb_detection_train.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+
+    ds = YouTubeBBDetection(root=str(root), splits=["train"], download=False)
+    ts = [int(sid.rsplit(",", 1)[1]) for sid in ds.sample_ids]
+    assert ts == sorted(ts), ts
+
+    # windows walk the clip in time order
+    dsw = YouTubeBBDetection(
+        root=str(root), splits=["train"], download=False, window=(3, 1)
+    )
+    for anchor, win in dsw._windows.items():
+        w_ts = [int(w.rsplit(",", 1)[1]) for w in win]
+        assert w_ts == sorted(w_ts), (anchor, win)

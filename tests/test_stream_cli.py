@@ -163,21 +163,51 @@ def test_stream_cli_quantized(tmp_path):
     assert len(os.listdir(save_dir / "q" / "pred")) == 4
 
 
-def test_stream_cli_t5_mult_out_flat_layout(tmp_path):
-    """--stream with a t_out model (--temp --mult_out): the stream emits ONE
-    prediction per frame (the anchor frame's own offset), so predictions,
-    the txt cache, and eval all use the flat single-dict layout — not the
-    windowed path's 5 pred_o{t} dirs (this combination crashed before
-    _mult_out_layout())."""
+def _make_vid_tree(tmp_path, n_clips=1, n_frames=6):
+    """Synthetic ImageNet-VID val layout under tmp_path/ImageNetVID/ILSVRC."""
     import cv2
 
-    rng = np.random.RandomState(3)
-    d = tmp_path / "vid"
-    d.mkdir()
-    for i in range(6):
-        cv2.imwrite(
-            str(d / f"{i:04d}.jpg"), rng.randint(0, 255, (96, 128, 3), np.uint8)
-        )
+    from videoyolo_tpu.data.base import load_names
+
+    wn = load_names("imagenetvid_wn")
+    root = tmp_path / "ImageNetVID" / "ILSVRC"
+    (root / "ImageSets" / "VID").mkdir(parents=True)
+    lines = []
+    frame_id = 1
+    for clip_i in range(n_clips):
+        clip = f"ILSVRC2017_val_{clip_i:08d}"
+        (root / "Data" / "VID" / "val" / clip).mkdir(parents=True)
+        (root / "Annotations" / "VID" / "val" / clip).mkdir(parents=True)
+        for f in range(n_frames):
+            fname = f"{f:06d}"
+            cv2.imwrite(
+                str(root / "Data" / "VID" / "val" / clip / f"{fname}.JPEG"),
+                np.zeros((96, 128, 3), np.uint8),
+            )
+            x1 = 10 + 2 * f
+            xml = (
+                "<annotation><size><width>128</width><height>96</height></size>"
+                f"<object><name>{wn[clip_i]}</name><trackid>0</trackid>"
+                f"<bndbox><xmax>{x1 + 40}</xmax><xmin>{x1}</xmin>"
+                "<ymax>80</ymax><ymin>30</ymin></bndbox></object></annotation>"
+            )
+            (
+                root / "Annotations" / "VID" / "val" / clip / f"{fname}.xml"
+            ).write_text(xml)
+            lines.append(f"{clip}/{fname} {frame_id}")
+            frame_id += 1
+    (root / "ImageSets" / "VID" / "val.txt").write_text("\n".join(lines))
+    return root
+
+
+def test_stream_cli_t5_mult_out_flat_layout(tmp_path):
+    """--stream with a t_out model (--temp --mult_out) on the VID dataset:
+    the stream emits ONE prediction per frame (the anchor frame's own
+    offset), so predictions, the txt cache, AND the eval tail all use the
+    flat single-dict layout — not the windowed path's 5 pred_o{t} dirs
+    (this combination crashed in save_predictions and again in evaluate()
+    before _mult_out_layout())."""
+    _make_vid_tree(tmp_path)
     save_dir = tmp_path / "results"
 
     env = dict(
@@ -190,12 +220,14 @@ def test_stream_cli_t5_mult_out_flat_layout(tmp_path):
         [
             sys.executable,
             "detect_yolo3.py",
-            f"--dataset={d}",
+            "--dataset=vid",
+            f"--dataset_root={tmp_path}",
             f"--save_dir={save_dir}",
             "--save_prefix=t5m",
             "--stream",
             "--temp",
             "--mult_out",
+            "--every=1",
             "--window=5,1",
             "--data_shape=64",
             "--batch_size=1",
@@ -210,11 +242,14 @@ def test_stream_cli_t5_mult_out_flat_layout(tmp_path):
     assert r.returncode == 0, (r.stdout + r.stderr)[-4000:]
     pred_dir = save_dir / "t5m" / "pred"
     assert pred_dir.is_dir(), os.listdir(save_dir / "t5m")
-    assert len(os.listdir(pred_dir)) == 6
+    clips = os.listdir(pred_dir)
+    assert len(clips) == 1 and len(os.listdir(pred_dir / clips[0])) == 6
     # no per-offset dirs: the flat layout is the stream contract
     assert not [
         p for p in os.listdir(save_dir / "t5m") if p.startswith("pred_o")
     ]
+    # the eval tail ran on the flat per-frame predictions
+    assert (save_dir / "t5m" / "voc.txt").exists()
 
 
 def test_stream_cli_vid_dataset_single_frames(tmp_path):

@@ -324,3 +324,16 @@ def test_vid_eval_motion_matches_sequential_oracle():
             ds, dt, motion_ranges, area_ranges, iou_threshold=0.5, agnostic=agnostic
         )
         np.testing.assert_allclose(got, want, atol=1e-9, err_msg=f"case {case}")
+
+
+def test_frames_per_video_count(vid_root):
+    """frames>1 reference semantics: COUNT frames per video with stride
+    ceil(len/count) (extract_base_features.py:44-47)."""
+    ds = ImageNetVidDetection(
+        root=vid_root, splits=[(2017, "val")], allow_empty=True,
+        frames_per_video=3, inference=True,
+    )
+    # 2 clips x 8 frames, stride ceil(8/3)=3 -> frames 0,3,6 per clip
+    assert len(ds) == 6
+    names = [os.path.basename(ds.sample_path(i)) for i in range(len(ds))]
+    assert names == ["000000.JPEG", "000003.JPEG", "000006.JPEG"] * 2

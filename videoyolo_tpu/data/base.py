@@ -16,6 +16,7 @@ channel-last end to end).
 from __future__ import annotations
 
 import json
+import functools
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -24,12 +25,20 @@ import numpy as np
 ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
 
 
+@functools.lru_cache(maxsize=None)
+def _load_names_cached(path: str) -> tuple:
+    with open(path) as f:
+        return tuple(line.strip() for line in f if line.strip())
+
+
 def load_names(name: str) -> List[str]:
     """Load a class list from the packaged names assets
-    (mirrors the reference's datasets/names/*.names files)."""
+    (mirrors the reference's datasets/names/*.names files).  Cached: the
+    `classes`/`class_ids` dataset properties call this per label row, and
+    VID/YTBB preload every label at init — uncached that is tens of
+    thousands of redundant file reads."""
     path = os.path.join(ASSETS_DIR, "names", name if name.endswith(".names") else name + ".names")
-    with open(path) as f:
-        return [line.strip() for line in f if line.strip()]
+    return list(_load_names_cached(path))
 
 
 def read_image(path: str) -> np.ndarray:

@@ -192,12 +192,21 @@ class CombinedDetection(DetectionDataset):
         di, si = self._samples[idx]
         return self._datasets[di].sample_path(si)
 
+    @staticmethod
+    def _map_cls(cmap, raw) -> int:
+        """Subset class id -> combined-tree id; placeholder rows from
+        allow_empty images carry class -1, which must STAY -1 (a bare
+        cmap[int(raw)] would python-negative-index to the subset's last
+        class and fabricate ground truth)."""
+        raw = int(raw)
+        return int(cmap[raw]) if raw >= 0 else -1
+
     def _load_label(self, idx: int) -> np.ndarray:
         di, si = self._samples[idx]
         label = np.array(self._datasets[di]._load_label(si), dtype=np.float64)
         cmap = self._dataset_class_map[di]
         for row in label:
-            row[4] = float(cmap[int(row[4])])
+            row[4] = float(self._map_cls(cmap, row[4]))
         return label
 
     def __getitem__(self, idx: int):
@@ -211,7 +220,7 @@ class CombinedDetection(DetectionDataset):
             # duplicate each box once per ancestor (combined.py:167-184)
             dup = []
             for row in label:
-                cls = cmap[int(row[4])]
+                cls = self._map_cls(cmap, row[4])
                 if cls < 0:
                     continue
                 for a in self.branches_ind[cls]:
@@ -226,7 +235,7 @@ class CombinedDetection(DetectionDataset):
             boxes = np.zeros((label.shape[0], 4 + len(self._classes)), np.float64)
             boxes[:, :4] = label[:, :4]
             for bi, row in enumerate(label):
-                cls = cmap[int(row[4])]
+                cls = self._map_cls(cmap, row[4])
                 if cls < 0:
                     boxes[bi, :] = -1
                     continue
@@ -234,13 +243,12 @@ class CombinedDetection(DetectionDataset):
             label = boxes
         else:
             for row in label:
-                row[4] = float(cmap[int(row[4])])
+                row[4] = float(self._map_cls(cmap, row[4]))
 
-        if self._transform is not None:
-            return self._transform(img, label)
-        if self._inference:
-            return img, label, idx
-        return img, label
+        # route through the shared tuple builder: transforms apply the same
+        # way as every other dataset, and inference mode keeps the idx the
+        # loader's collate needs for batch["idx"]
+        return self._transformed(img, label, idx)
 
     def load_heir_labels(self, idx: int):
         """Per-box ancestor index lists (combined.py:212-224)."""
@@ -248,9 +256,9 @@ class CombinedDetection(DetectionDataset):
         label = self._datasets[di]._load_label(si)
         cmap = self._dataset_class_map[di]
         return [
-            self.branches_ind[cmap[int(row[4])]]
+            self.branches_ind[self._map_cls(cmap, row[4])]
             for row in label
-            if cmap[int(row[4])] >= 0
+            if self._map_cls(cmap, row[4]) >= 0
         ]
 
     def image_size(self, sample_id):

@@ -39,6 +39,7 @@ class ImageNetVidDetection(DetectionDataset):
         transform=None,
         index_map=None,
         every: int = 1,
+        frames_per_video: int = 0,
         inference: bool = False,
         window=(1, 1),
         features_dir: Optional[str] = None,
@@ -67,8 +68,13 @@ class ImageNetVidDetection(DetectionDataset):
         self.samples = self._load_samples()
         self.all_samples = dict(self.samples) if not videos else None
         assert every >= 1
+        self._every = int(every)
+        self._frames_per_video = int(frames_per_video)
         if every != 1:
             self.samples = self._only_every(self.samples, int(every))
+        if self._frames_per_video > 0:
+            assert every == 1 and not videos, "frames_per_video excludes every/videos"
+            self.samples = self._per_video_count(self.samples, self._frames_per_video)
         self.sample_ids = sorted(self.samples.keys())
         self._labels = {}  # (sample_id, frame_id) -> parsed rows, filled below
         for idx in range(len(self)):
@@ -225,18 +231,52 @@ class ImageNetVidDetection(DetectionDataset):
             return samples
         return {k: v for k, v in samples.items() if int(v[-1]) % every == 0}
 
+    def _per_video_count(self, samples, count):
+        """Per-video frame-COUNT subsampling: stride ceil(len/count) within
+        each clip (the reference's frames>1 semantics,
+        extract_base_features.py:44-47 / imgnetvid frames handling)."""
+        import math
+
+        by_clip: Dict[str, list] = {}
+        for k in sorted(samples):  # ids follow val.txt order: clip-major
+            by_clip.setdefault(samples[k][1], []).append(k)
+        keep = set()
+        for ks in by_clip.values():
+            step = max(1, int(math.ceil(len(ks) / float(count))))
+            keep.update(ks[::step])
+        return {k: v for k, v in samples.items() if k in keep}
+
     def _remove_empties(self):
         assert not self._videos, "Can't exclude non-empty samples for videos"
+        # the cached id list depends on the subsampling (the filter runs
+        # over the subsampled id set); key the cache by it so runs with
+        # different --every/frames don't load each other's lists (defaults
+        # keep the reference-compatible name, imgnetvid.py:352)
+        tag = "" if self._every in (1, None) else f"_every{self._every}"
+        if self._frames_per_video:
+            tag += f"_fpv{self._frames_per_video}"
         not_empty_file = os.path.join(
-            self.root, "ImageSets", "VID", self._splits[0][1] + "_nonempty.txt"
+            self.root, "ImageSets", "VID",
+            self._splits[0][1] + tag + "_nonempty.txt",
         )
         stats_file = os.path.join(
-            self.root, "ImageSets", "VID", self._splits[0][1] + "_nonempty_stats.txt"
+            self.root, "ImageSets", "VID",
+            self._splits[0][1] + tag + "_nonempty_stats.txt",
         )
         if os.path.exists(not_empty_file):
             logging.info("Loading splits from: %s", not_empty_file)
             with open(not_empty_file) as f:
                 good_sample_ids = [int(line.rstrip()) for line in f if line.strip()]
+            stale = [sid for sid in good_sample_ids if sid not in self.samples]
+            if stale:
+                logging.warning(
+                    "%s: %d cached ids are not in the current sample set "
+                    "(stale cache from different settings?) — ignoring them; "
+                    "delete the file to rebuild", not_empty_file, len(stale),
+                )
+                good_sample_ids = [
+                    sid for sid in good_sample_ids if sid in self.samples
+                ]
         else:
             good_sample_ids, removed, n_boxes = [], 0, 0
             for sid in self.sample_ids:

@@ -239,7 +239,12 @@ class DetectionLoader:
 
             h, w = self._native_hw
             paths = [self._dataset.sample_path(int(j)) for j in chunk]
-            imgs, _ = native.load_batch(paths, h, w)
+            imgs, sizes = native.load_batch(paths, h, w)
+            if (sizes < 0).any():  # decode failure: raise like the Python
+                bad = [p for p, s in zip(paths, sizes) if s[0] < 0]
+                raise FileNotFoundError(
+                    f"native decode failed for {len(bad)} image(s), e.g. {bad[0]}"
+                )
             return {
                 "image": imgs,
                 "idx": np.asarray([int(j) for j in chunk], np.int64),

@@ -623,7 +623,12 @@ class YOLO3NBInferenceTransform:
 class MixupDetection:
     """Dataset wrapper: beta(alpha,beta)-mixed image pairs with the mix ratio
     appended as the label's last column (gluoncv MixupDetection semantics,
-    used at train_yolov3.py:227-229 via --mixup)."""
+    used at train_yolov3.py:227-229 via --mixup).
+
+    Deliberate divergence: the mixed image is rounded back to uint8 (gluoncv
+    keeps float32) so the uint8+on-device-color input contract — 4x less
+    host->device traffic — holds under mixup too; the rounding is <=0.5
+    intensity per pixel, far below the augmentation noise floor."""
 
     def __init__(self, dataset, mixup_alpha: float = 1.5, mixup_beta: float = 1.5):
         self._dataset = dataset

@@ -113,7 +113,15 @@ class YouTubeBBDetection(DetectionDataset):
         )
         self.index_map = index_map or dict(zip(self.class_ids, range(self.num_class)))
         self.samples = self._load_items(self._splits)
-        self.sample_ids = sorted(self.samples.keys())
+        # sample ids are "<vid_id>,<timestamp_ms>": order frames WITHIN a
+        # video numerically by timestamp (lexicographic string sort scrambles
+        # clip order — 10000 < 2000 — which would feed temporal windows and
+        # --stream ring buffers time-shuffled frames)
+        self.sample_ids = sorted(
+            self.samples.keys(),
+            key=lambda s: (s.rsplit(",", 1)[0], int(s.rsplit(",", 1)[1]))
+            if s.rsplit(",", 1)[-1].isdigit() else (s, 0),
+        )
 
     @property
     def classes(self) -> List[str]:
@@ -188,7 +196,7 @@ class YouTubeBBDetection(DetectionDataset):
         # fraction/count subsampling per video (youtubebb.py:439-451)
         if self._frames != 1:
             for vid_id in videos:
-                frame_ids = sorted(videos[vid_id].keys())
+                frame_ids = sorted(videos[vid_id].keys(), key=int)
                 if self._frames < 1:
                     keep = frame_ids[:: int(1 / self._frames)]
                 else:
@@ -208,7 +216,8 @@ class YouTubeBBDetection(DetectionDataset):
             step = self._window_step
             for vid_id in videos:
                 fids = [
-                    vid_id + "," + f for f in sorted(videos[vid_id].keys())
+                    vid_id + "," + f
+                    for f in sorted(videos[vid_id].keys(), key=int)
                 ]
                 for i in range(len(fids)):
                     window = [

@@ -1,5 +1,6 @@
-// Native data-loader core: multithreaded JPEG decode + bilinear resize +
-// normalize, NHWC float32.
+// Native data-loader core: multithreaded JPEG decode + resize (area/cubic,
+// matching the Python transform's imresize(interp=9)) + normalize, NHWC
+// float32.
 //
 // TPU-native equivalent of the reference's host-side input machinery: the
 // reference leans on MXNet's native image pipeline (`mx.image.imread` +
@@ -66,35 +67,31 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels, int* w,
   return true;
 }
 
-// Bilinear resize RGB8 (src_h, src_w) -> normalized float32 (out_h, out_w),
-// matching cv2.resize(INTER_LINEAR) pixel-center alignment.
+// Defined below with the tap machinery; declared here so the inference path
+// can reuse the exact resamplers the train path uses (same anonymous
+// namespace = same entity).
+void resample_subrect(const uint8_t* src, int src_w, int sx0, int sy0,
+                      int sx1, int sy1, uint8_t* out, int out_w, int dx0,
+                      int dy0, int dx1, int dy1, int interp, bool flip);
+
+// Resize RGB8 (src_h, src_w) -> normalized float32 (out_h, out_w) with the
+// Python inference transform's imresize(interp=9) semantics: INTER_AREA
+// when downscaling (either axis), INTER_CUBIC when upscaling — so native
+// and Python decode paths produce the same pixels (and the same cached
+// predictions) regardless of which toolchain a host has.  Resampling runs
+// in uint8 like cv2.resize on uint8 input, then normalizes.
 void resize_normalize(const uint8_t* src, int src_h, int src_w, float* dst,
                       int out_h, int out_w, const float* mean,
                       const float* stddev) {
-  const float sy = float(src_h) / out_h;
-  const float sx = float(src_w) / out_w;
-  for (int y = 0; y < out_h; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    if (fy < 0) fy = 0;
-    int y0 = int(fy);
-    int y1 = y0 + 1 < src_h ? y0 + 1 : src_h - 1;
-    float wy = fy - y0;
-    for (int x = 0; x < out_w; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      if (fx < 0) fx = 0;
-      int x0 = int(fx);
-      int x1 = x0 + 1 < src_w ? x0 + 1 : src_w - 1;
-      float wx = fx - x0;
-      const uint8_t* p00 = src + (size_t(y0) * src_w + x0) * 3;
-      const uint8_t* p01 = src + (size_t(y0) * src_w + x1) * 3;
-      const uint8_t* p10 = src + (size_t(y1) * src_w + x0) * 3;
-      const uint8_t* p11 = src + (size_t(y1) * src_w + x1) * 3;
-      float* out = dst + (size_t(y) * out_w + x) * 3;
-      for (int c = 0; c < 3; ++c) {
-        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
-                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
-        out[c] = (v / 255.0f - mean[c]) / stddev[c];
-      }
+  const int interp = (src_h > out_h || src_w > out_w) ? 3 : 2;
+  std::vector<uint8_t> tmp(size_t(out_h) * out_w * 3);
+  resample_subrect(src, src_w, 0, 0, src_w, src_h, tmp.data(), out_w, 0, 0,
+                   out_w, out_h, interp, false);
+  const uint8_t* p = tmp.data();
+  const size_t npix = size_t(out_h) * out_w;
+  for (size_t i = 0; i < npix; ++i) {
+    for (int c = 0; c < 3; ++c) {
+      dst[i * 3 + c] = (p[i * 3 + c] / 255.0f - mean[c]) / stddev[c];
     }
   }
 }
