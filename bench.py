@@ -24,6 +24,14 @@ Prints ONE JSON line.  Primary metric (detect fps) plus context fields:
                                  device_put of pre-built batches, no step) —
                                  attributes the e2e gap: e2e ~= min(loader,
                                  transfer, device)
+  latency_b1_bf16_ms /           single-request serving latency at B=1:
+  latency_b1_int8_ms             device-side step time measured tunnel-proof
+                                 by chaining dependent steps inside one
+                                 dispatch (lax.scan with a data dependency),
+                                 so the axon round-trip amortises away —
+                                 the per-request number a directly-attached
+                                 deployment sees (method: tools/
+                                 prof_latency.device_chain_ms)
   e2e_train_img_s                loader feeding the train step through the
                                  async device-prefetcher (data/prefetch.py).
                                  On this tunneled 1-core box loader and
@@ -120,7 +128,43 @@ def bench_detect_int8(model, variables, x):
         boxes, scores = qmodel.apply(qvars, images, train=False)
         return postprocess(boxes, scores)
 
-    return _time_detect_step(step, x)
+    return _time_detect_step(step, x), qmodel, qvars
+
+
+def _chain_latency_ms(model, variables, x, iters=20):
+    """Tunnel-proof B=1 step latency: `iters` DEPENDENT full steps (forward
+    + decode + NMS) inside ONE dispatch via lax.scan, with a zero-valued but
+    data-dependent carry from each step's scores into the next input — so
+    XLA cannot parallelise steps and the tunnel round-trip amortises to
+    RTT/iters.  Same method as tools/prof_latency.device_chain_ms."""
+    from videoyolo_tpu.models.yolo3 import postprocess
+
+    def body(im, _):
+        _ids, sc, _bb = postprocess(*model.apply(variables, im, train=False))
+        return im + (sc.sum() * 0).astype(im.dtype), ()
+
+    f = jax.jit(lambda im: jax.lax.scan(body, im, None, length=iters)[0])
+    for _ in range(2):  # compile + warm, forced (see module docstring)
+        jax.device_get(f(x).ravel()[:1])
+    t = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = f(x)
+        jax.device_get(out.ravel()[:1])
+        t.append(time.perf_counter() - t0)
+    t.sort()
+    return t[len(t) // 2] * 1e3 / iters
+
+
+def bench_latency(model, variables, qmodel, qvars):
+    """Single-request (B=1) serving latency for the bf16 and int8 paths."""
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(1, SIZE, SIZE, 3), jnp.bfloat16
+    )
+    return (
+        _chain_latency_ms(model, variables, x),
+        _chain_latency_ms(qmodel, qvars, x),
+    )
 
 
 def _train_step_fn():
@@ -379,8 +423,9 @@ def bench_stream():
 
 def main():
     detect_fps, model, variables, x = bench_detect()
-    int8_fps = bench_detect_int8(model, variables, x)
-    del model, variables, x
+    int8_fps, qmodel, qvars = bench_detect_int8(model, variables, x)
+    lat_bf16_ms, lat_int8_ms = bench_latency(model, variables, qmodel, qvars)
+    del model, variables, x, qmodel, qvars
     temporal_k3_fps, temporal_t5_fps = bench_temporal()
     stream_k3_fps = bench_stream()
     state, step = _train_step_fn()
@@ -396,6 +441,8 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(detect_fps / REFERENCE_FPS, 3),
                 "detect_int8_fps": round(int8_fps, 2),
+                "latency_b1_bf16_ms": round(lat_bf16_ms, 2),
+                "latency_b1_int8_ms": round(lat_int8_ms, 2),
                 "temporal_k3_fps": round(temporal_k3_fps, 1),
                 "temporal_t5_fps": round(temporal_t5_fps, 1),
                 "stream_k3_fps": round(stream_k3_fps, 1),

@@ -1,0 +1,106 @@
+"""Deployment-shape sweep: detect throughput (bf16 + fused int8) across
+input sizes on the real chip.
+
+ROADMAP's int8 closure names deployment shape tuning as the remaining
+serving lever; this produces the measured table (PARITY.md "serving
+guidance").  Each size runs the full detect step (forward + decode + two-
+stage top-k + NMS) at a per-size batch chosen to keep activation footprint
+roughly constant (B x S^2 ~ 128 x 416^2).
+
+The reference's eval protocol uses 416 (VOC/VID) and 608 (COCO-style
+large), and the random-shape training buckets span 320-608
+(/root/reference/train_yolov3.py:67-76), so those are the sizes a
+deployment actually serves.
+
+Timing per ROADMAP "Measurement discipline": distinct-enough inputs, warm
+forced via device_get data round-trip, timed loop forced the same way.
+
+Usage: python tools/prof_shapes.py [--sizes 320,416,512,608] [--iters 20]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from videoyolo_tpu.models.yolo3 import YOLOv3, postprocess
+from videoyolo_tpu.ops.quantize import quantize_fused
+
+
+def batch_for(size: int) -> int:
+    """Keep B*S^2 ~ 128*416^2 (the measured 416 sweet spot), floor 32,
+    rounded down to a multiple of 32 (sublane-friendly batch)."""
+    b = int(128 * (416 / size) ** 2)
+    return max(32, (b // 32) * 32)
+
+
+def timeit_fps(step, x, iters):
+    jax.device_get(step(x)[0])
+    jax.device_get(step(x)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(x)
+    jax.device_get(out[0])
+    return x.shape[0] * iters / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="320,416,512,608")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--classes", type=int, default=20)
+    args = ap.parse_args()
+
+    rows = []
+    for size in [int(s) for s in args.sizes.split(",")]:
+        b = batch_for(size)
+        model = YOLOv3(num_classes=args.classes, dtype=jnp.bfloat16)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, size, size, 3), jnp.bfloat16),
+            train=False,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(b, size, size, 3), jnp.bfloat16
+        )
+
+        bf16_step = jax.jit(
+            lambda im, m=model, v=variables: postprocess(
+                *m.apply(v, im, train=False)
+            )
+        )
+        bf16_fps = timeit_fps(bf16_step, x, args.iters)
+
+        qmodel, qvars = quantize_fused(
+            model, variables, [np.asarray(x[:8], np.float32)]
+        )
+        int8_step = jax.jit(
+            lambda im, m=qmodel, v=qvars: postprocess(
+                *m.apply(v, im, train=False)
+            )
+        )
+        int8_fps = timeit_fps(int8_step, x, args.iters)
+
+        row = {
+            "size": size,
+            "batch": b,
+            "bf16_fps": round(bf16_fps, 1),
+            "int8_fps": round(int8_fps, 1),
+            "int8_speedup": round(int8_fps / bf16_fps, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps({"table": rows}))
+
+
+if __name__ == "__main__":
+    main()
