@@ -16,13 +16,20 @@ import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-from videoyolo_tpu.models.yolo3 import YOLOv3, postprocess, select_topk_candidates
+from videoyolo_tpu.models.yolo3 import (
+    YOLOv3, postprocess, postprocess_levels, select_topk_candidates,
+)
 from videoyolo_tpu.ops.nms import box_nms
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--s2d", action="store_true", help="space-to-depth stem")
 ap.add_argument("--batch", type=int, default=128)
 ap.add_argument("--size", type=int, default=416)
+ap.add_argument(
+    "--no_levels", action="store_true",
+    help="skip the postprocess vs postprocess_levels full-step A/B "
+    "(saves one large compile)",
+)
 args = ap.parse_args()
 
 B, S = args.batch, args.size
@@ -34,6 +41,14 @@ fwd = jax.jit(lambda im: model.apply(variables, im, train=False))
 topk = jax.jit(select_topk_candidates)
 nms = jax.jit(lambda c: box_nms(c, topk=-1))
 full = jax.jit(lambda im: postprocess(*model.apply(variables, im, train=False)))
+# A/B: the per-level fast path — same params, the model only changes its
+# eval-time output formatting (per-level pairs instead of the concatenated
+# (B, sum Ni, *) tensors), so `variables` is shared verbatim
+import dataclasses
+model_levels = dataclasses.replace(model, return_levels=True)
+full_levels = jax.jit(
+    lambda im: postprocess_levels(model_levels.apply(variables, im, train=False))
+)
 
 def _force(o):
     jax.device_get(jax.tree.leaves(o)[0])
@@ -63,4 +78,7 @@ res = {
 }
 res["fps_full"] = B / res["full_ms"] * 1e3
 res["fps_fwd_only"] = B / res["fwd_ms"] * 1e3
+if not args.no_levels:
+    res["full_levels_ms"] = timeit(full_levels, x)
+    res["fps_full_levels"] = B / res["full_levels_ms"] * 1e3
 print(json.dumps(res, indent=1))

@@ -27,12 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from videoyolo_tpu.models.yolo3 import YOLOv3, postprocess
 from videoyolo_tpu.ops.quantize import quantize_fused
-
-
-def _force(o):
-    # data round-trip of a tiny dependent slice — the only true barrier
-    # over the axon tunnel (see tools/prof_temporal._force)
-    jax.device_get(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
+from videoyolo_tpu.profiling import device_chain_ms, force as _force
 
 
 def percentiles(samples_ms):
@@ -54,30 +49,6 @@ def measure_rtt(n=50):
         _force(f(y))
         t.append((time.perf_counter() - t0) * 1e3)
     return float(np.percentile(t, 50))
-
-
-def device_chain_ms(model, variables, x, iters=20):
-    """Tunnel-proof device-side step latency: run `iters` DEPENDENT steps
-    inside one dispatch (lax.scan with a data dependency from each step's
-    detections back into the next input), so the per-step time is
-    (total - one RTT) / iters — the tunnel round-trip amortises away.
-    This is the number a directly-attached deployment sees per request."""
-    from videoyolo_tpu.models.yolo3 import postprocess
-
-    def body(im, _):
-        ids, sc, bb = postprocess(*model.apply(variables, im, train=False))
-        # zero-valued but data-dependent: forces sequential execution
-        return im + (sc.sum() * 0).astype(im.dtype), ()
-
-    f = jax.jit(lambda im: jax.lax.scan(body, im, None, length=iters)[0])
-    _force(f(x))
-    _force(f(x))
-    t = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _force(f(x))
-        t.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(t)) / iters
 
 
 def latency(step, x, n):
