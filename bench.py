@@ -19,11 +19,11 @@ Defences used here, in order of value:
   2. compile CONCURRENCY: after the headline section prints, the remaining
      sections' graph builds + compiles run in a small thread pool (the work
      is server-side; host threads just wait), while the main thread measures
-     each section as its compile resolves — device execution is serialised
-     under one lock so measurements never overlap another section's device
-     work, and only compiled-executable dispatches (never compiles) happen
-     inside timed windows;
-  3. a wall-clock budget (env BENCH_BUDGET_S, default 900): sections whose
+     each section as its compile resolves.  Measured sections serialise on
+     one lock; prep threads don't take it (see _DEV_LOCK comment for the
+     starvation-vs-noise tradeoff) — the headline is measured before the
+     pool starts and is fully clean;
+  3. a wall-clock budget (env BENCH_BUDGET_S, default 1800): sections whose
      compile has not resolved by the deadline are reported in "skipped";
   4. SIGTERM/SIGALRM handlers that dump the current full line and exit, so
      an external `timeout` still yields a parseable artifact.
@@ -83,6 +83,18 @@ Fields (all rates frames- or images-/sec):
   sections_s / skipped /         per-section wall seconds (compile wait +
   bench_wall_s / budget_s        measure), sections dropped by the budget,
                                  total wall time, the budget applied
+  remeasured_idle /              in-flight remote compiles degrade
+  *_contended                    concurrent device (and 1-core host)
+                                 execution arbitrarily (r4: the same k=3
+                                 graph measured 29.5-1929 fps depending on
+                                 in-flight compiles).  A value measured
+                                 while any section compile was outstanding
+                                 is therefore stored under a *_contended
+                                 name (timeout resilience only); once the
+                                 last prep resolves every section is
+                                 re-measured on the idle device/host and
+                                 the clean value lands under the real name
+                                 (remeasured_idle lists them)
 
 Baseline derivation: the reference publishes no numbers (BASELINE.md;
 models/README.md's results table is 'TODO').  The accepted proxy for
@@ -94,7 +106,7 @@ throughput on one V100 — widely reported at ~60-80 fps batched at 416 px
 All timings force execution with jax.device_get (async dispatch otherwise
 under-reports; round-1's train-side numbers suffered exactly that).
 
-Env knobs: BENCH_BUDGET_S (wall budget, default 900); BENCH_ONLY
+Env knobs: BENCH_BUDGET_S (wall budget, default 1800); BENCH_ONLY
 (comma-separated section names to run, e.g. "detect,int8" — detect always
 runs first regardless).
 """
@@ -126,15 +138,20 @@ TRAIN_BATCH = 48  # fastest measured train config (s2d stem, no remat)
 TRAIN_ITERS = 10
 
 T_START = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 
 RESULTS: dict = {}  # enriched fields, updated as sections land
 SECTIONS_S: dict = {}  # per-section wall time
 SKIPPED: list = []
 _EMIT_LOCK = threading.Lock()
-# device execution is serialised here: measurements hold it for their timed
-# window; prepare threads hold it for any real device dispatch (init,
-# calibration, warm-up) so nothing executes inside another section's timing
+# Measurements hold this for their timed window so two measured sections
+# never overlap on the device.  Prepare threads deliberately do NOT take it:
+# a prep whose first call compiles AND executes (quantize calibration,
+# streaming warm-up) would hold it for minutes and starve every
+# ready-to-measure section.  The residual risk is a stray sub-second prep
+# dispatch landing inside a multi-second pipelined timed window (<~2%
+# distortion, context fields only — the headline is measured before the
+# prep pool starts and is untouched).
 _DEV_LOCK = threading.Lock()
 
 
@@ -250,8 +267,7 @@ def prep_int8(model, variables, x):
     from videoyolo_tpu.models.yolo3 import postprocess
     from videoyolo_tpu.ops.quantize import quantize_fused
 
-    with _DEV_LOCK:  # calibration runs real forwards
-        qmodel, qvars = quantize_fused(model, variables, [x[:8].astype(jnp.float32)])
+    qmodel, qvars = quantize_fused(model, variables, [x[:8].astype(jnp.float32)])
 
     @jax.jit
     def step(images):
@@ -273,10 +289,9 @@ def prep_train():
     from videoyolo_tpu.train.step import create_train_state, make_train_step
 
     model = YOLOv3(num_classes=20, dtype=jnp.bfloat16, s2d_stem=True)
-    with _DEV_LOCK:
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False
-        )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False
+    )
     lr_fn = lr_schedule("step", 1e-3, steps_per_epoch=100, epochs=10)
     state = create_train_state(model, variables, lr_fn)
     jit_step = jax.jit(make_train_step(model, num_classes=20), donate_argnums=(0,))
@@ -297,6 +312,9 @@ def prep_train():
 
 def measure_train(prep, shared):
     compiled, jit_step, state, batch = prep
+    # on idle re-measure the prep state's buffers were already donated
+    # through the first measure — use the live state it produced
+    state = shared.get("train_state", state)
     state, m = compiled(state, batch)
     jax.device_get(m["total"])  # warm
     t0 = time.perf_counter()
@@ -316,12 +334,11 @@ def _prep_temporal(cfg, b, k):
 
     model = build_model(cfg)
     x = jnp.asarray(np.random.RandomState(0).rand(b, k, SIZE, SIZE, 3), jnp.bfloat16)
-    with _DEV_LOCK:
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, k, SIZE, SIZE, 3), jnp.bfloat16),
-            train=False,
-        )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, k, SIZE, SIZE, 3), jnp.bfloat16),
+        train=False,
+    )
 
     @jax.jit
     def step(im):
@@ -377,12 +394,11 @@ def prep_stream():
             dtype=jnp.bfloat16,
         )
     )
-    with _DEV_LOCK:
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, k, SIZE, SIZE, 3), jnp.bfloat16),
-            train=False,
-        )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, k, SIZE, SIZE, 3), jnp.bfloat16),
+        train=False,
+    )
     stream = StreamingDetector(model, variables)
     # distinct device-resident frames per step (repeated identical dispatch
     # under-reports over the tunnel — ROADMAP "Measurement discipline")
@@ -391,9 +407,8 @@ def prep_stream():
         jax.device_put(jnp.asarray(rs.rand(b, SIZE, SIZE, 3), jnp.bfloat16))
         for _ in range(ITERS)
     ]
-    with _DEV_LOCK:  # first calls compile AND execute (internal jits)
-        jax.device_get(stream.reset(frames[0])[0])
-        jax.device_get(stream.step(frames[1])[0])
+    jax.device_get(stream.reset(frames[0])[0])
+    jax.device_get(stream.step(frames[1])[0])
     return stream, frames, b
 
 
@@ -540,12 +555,11 @@ def prep_e2e(train_future, shared):
     lowers against the train state's AVALS only (the concrete state buffers
     are being donated through measure_train concurrently)."""
     _compiled, jit_step, state, _batch = train_future.result()
-    with _DEV_LOCK:
-        dev = {
-            k: jnp.asarray(v)
-            for k, v in shared["first_batch"].items()
-            if k != "label"
-        }
+    dev = {
+        k: jnp.asarray(v)
+        for k, v in shared["first_batch"].items()
+        if k != "label"
+    }
     state_avals = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state
     )
@@ -621,8 +635,14 @@ def main():
         futures["latency"] = pool.submit(prep_latency, detect_ctx, futures["int8"])
 
     # 3. host-only sections while the device compiles are in flight
-    #    (loader work is host CPU; the compile threads are idle waits)
-    for name, fn in (("loader", measure_loader), ("transfer", measure_transfer)):
+    #    (loader work is host CPU; the compile threads are idle waits).
+    #    loader never touches the device, so it must NOT contend for the
+    #    device lock (prep_int8 can hold it for minutes of calibration);
+    #    transfer does device_puts and takes it.
+    for name, fn, needs_dev in (
+        ("loader", measure_loader, False),
+        ("transfer", measure_transfer, True),
+    ):
         if not want(name):
             continue
         if _remaining() <= 0:
@@ -630,8 +650,15 @@ def main():
             continue
         t0 = time.perf_counter()
         try:
-            with _DEV_LOCK:
+            before = set(RESULTS)
+            if needs_dev:
+                with _DEV_LOCK:
+                    fn(shared)
+            else:
                 fn(shared)
+            if any(not f.done() for f in futures.values()):
+                for k in set(RESULTS) - before:
+                    RESULTS[k + "_contended"] = RESULTS.pop(k)
             SECTIONS_S[name] = time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001 — a section must not kill the line
             RESULTS[f"{name}_error"] = repr(e)[:200]
@@ -663,14 +690,64 @@ def main():
         t0 = time.perf_counter()
         try:
             prep = fut.result(timeout=left)
+            # a measurement taken while other section compiles are in
+            # flight can be arbitrarily degraded (r4 observed 29.5-2859 fps
+            # for the same graphs depending on server load); keep it, but
+            # under an explicit *_contended name so a premature kill never
+            # records a contended number as the real field — the idle
+            # re-measure below writes the real names
+            contended = any(not f.done() for f in futures.values())
+            before = set(RESULTS)
             with _DEV_LOCK:
                 measure(prep)
+            if contended:
+                for k in set(RESULTS) - before:
+                    RESULTS[k + "_contended"] = RESULTS.pop(k)
             SECTIONS_S[name] = time.perf_counter() - t0
         except TimeoutError:
             SKIPPED.append(name)
         except Exception as e:  # noqa: BLE001
             RESULTS[f"{name}_error"] = repr(e)[:200]
         emit()
+
+    # 5. idle re-measure.  In-flight remote compiles measurably degrade
+    # concurrent device execution (r4 measured: temporal_k3 685 fps while
+    # 3-4 section compiles were in flight vs 1929 fps idle — the on-resolve
+    # numbers above exist so a timeout still leaves a value, but they are
+    # lower bounds).  Once every prep has resolved the device is idle;
+    # re-run each successful measure and overwrite with the clean number.
+    if all(f.done() for f in futures.values()):
+        remeasured = []
+        # host sections first: their numbers also degrade while prep
+        # threads compete for this host's core (r4: loader 151 alone,
+        # 36-85 under an active prep pool)
+        redo = [
+            (name, lambda _p, fn=fn: fn(shared))
+            for name, fn in (("loader", measure_loader), ("transfer", measure_transfer))
+        ] + measures
+        for name, measure in redo:
+            if name not in SECTIONS_S:
+                continue
+            if name in dict(measures) and futures.get(name) is None:
+                continue
+            if _remaining() <= 60:
+                break
+            try:
+                with _DEV_LOCK:
+                    prep = futures[name].result() if name in futures else None
+                    measure(prep)
+                remeasured.append(name)
+            except Exception as e:  # noqa: BLE001
+                RESULTS[f"{name}_remeasure_error"] = repr(e)[:200]
+                if "TPU backend error" in repr(e):
+                    break  # a bad call can poison the stream; keep what we have
+        if remeasured:
+            # drop contended values superseded by a clean idle re-measure
+            for k in list(RESULTS):
+                if k.endswith("_contended") and k[: -len("_contended")] in RESULTS:
+                    del RESULTS[k]
+            RESULTS["remeasured_idle"] = remeasured
+            emit()
 
     emit(final=True)
     pool.shutdown(wait=False, cancel_futures=True)

@@ -71,9 +71,12 @@ flags.DEFINE_enum(
     "quantize",
     "",
     ["", "int8", "int8_static", "int8_dynamic"],
-    "int8 serving path (yolo3_darknet53 and its non-RNN temporal variants "
-    "incl. 3D/2+1D blocks and the two-stream family — see "
-    "ops/quantize.assert_quantizable): 'int8' calibrates on "
+    "int8 serving path.  Eligible (ops/quantize.assert_quantizable): plain "
+    "yolo3_darknet53; the full t=5 YOLOv3Temporal family (--temp / "
+    "--mult_out, corr pyramid and funnel incl.); and any non-RNN windowed "
+    "YOLOv3T config — built-in 2D/3D/2+1D backbones, the no-backbone "
+    "feature-input head, and the two-stream family (darknet side int8, "
+    "motion stream bf16).  'int8' calibrates on "
     "the first batches and uses the fastest eligible pipeline (fused "
     "end-to-end for plain YOLOv3, static scales otherwise); 'int8_static' "
     "forces per-cell static scales; 'int8_dynamic' needs no calibration "

