@@ -108,7 +108,10 @@ under-reports; round-1's train-side numbers suffered exactly that).
 
 Env knobs: BENCH_BUDGET_S (wall budget, default 1800); BENCH_ONLY
 (comma-separated section names to run, e.g. "detect,int8" — detect always
-runs first regardless).
+runs first regardless).  Section dependencies: "latency" also needs "int8"
+(it reuses the quantized model), and "e2e" also needs "train" AND "loader"
+(it feeds the loader's batches through the train step) — listing a
+dependent section without its prerequisites reports it under "skipped".
 """
 from __future__ import annotations
 
@@ -117,17 +120,13 @@ import os
 import signal
 import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+from concurrent.futures import wait as fwait
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-
-# persistent compile cache: useless for the big graphs (see module
-# docstring) but still saves the hundreds of small init/host-op compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 REFERENCE_FPS = 70.0  # documented proxy, see module docstring
 BATCH = 128  # detect: measured sweet spot on v5e (amortises launch overhead)
@@ -143,7 +142,11 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 RESULTS: dict = {}  # enriched fields, updated as sections land
 SECTIONS_S: dict = {}  # per-section wall time
 SKIPPED: list = []
-_EMIT_LOCK = threading.Lock()
+# RLock, not Lock: the SIGTERM/SIGALRM handler runs ON the main thread and
+# calls emit(); if the signal lands while the main thread is already inside
+# emit() holding the lock, a plain Lock would deadlock the handler against
+# itself and kill all three timeout defences at once.
+_EMIT_LOCK = threading.RLock()
 # Measurements hold this for their timed window so two measured sections
 # never overlap on the device.  Prepare threads deliberately do NOT take it:
 # a prep whose first call compiles AND executes (quantize calibration,
@@ -160,27 +163,39 @@ def _remaining() -> float:
 
 
 def emit(final: bool = False, aborted: str | None = None) -> None:
-    """Print ONE complete JSON line with everything measured so far."""
+    """Print ONE complete JSON line with everything measured so far.
+
+    Runs concurrently with the main thread (watchdog + signal handler), so
+    it never iterates the live dicts: .copy()/list() are single C calls,
+    atomic under the GIL, immune to 'dictionary changed size during
+    iteration'.  Worst case a snapshot lands mid-rename (pop+set) and one
+    key is transiently absent from that line — the next emit has it.
+    """
+    results = RESULTS.copy()
+    sections = SECTIONS_S.copy()
+    skipped = list(SKIPPED)
     with _EMIT_LOCK:
         line = {
             "metric": "detect_fps_416_bf16_per_chip",
-            "value": RESULTS.get("detect_fps"),
+            "value": results.get("detect_fps"),
             "unit": "frames/sec",
             "vs_baseline": (
-                round(RESULTS["detect_fps"] / REFERENCE_FPS, 3)
-                if RESULTS.get("detect_fps")
+                round(results["detect_fps"] / REFERENCE_FPS, 3)
+                if results.get("detect_fps")
                 else None
             ),
         }
-        for k, v in RESULTS.items():
+        for k, v in results.items():
             if k != "detect_fps":
                 line[k] = v
         line["host_cpus"] = os.cpu_count()
         line["bench_wall_s"] = round(time.perf_counter() - T_START, 1)
         line["budget_s"] = BUDGET_S
-        line["sections_s"] = {k: round(v, 1) for k, v in SECTIONS_S.items()}
-        if SKIPPED:
-            line["skipped"] = list(SKIPPED)
+        line["sections_s"] = {k: round(v, 1) for k, v in sections.items()}
+        if skipped:
+            line["skipped"] = skipped
+        if final:
+            line["final"] = True
         if aborted:
             line["aborted"] = aborted
         print(json.dumps(line), flush=True)
@@ -602,7 +617,74 @@ def measure_e2e(prep, shared):
 # ---------------------------------------------------------------------------
 
 
+def run_device_sections(futures, measures, want) -> None:
+    """Measure each device section as its compile resolves (step 4).
+
+    `measures` is a priority-ordered [(name, measure_fn)]; `futures` maps
+    names to the in-flight prep compiles.  The loop picks the highest-
+    priority READY future each iteration and otherwise blocks on ANY
+    pending compile — one slow/stuck high-priority compile must not starve
+    already-resolved sections (a fixed-order fut.result() walk re-creates
+    the r3 lose-everything-on-timeout mode this file exists to kill).
+
+    A measurement taken while other section compiles are in flight at its
+    start OR its end can be arbitrarily degraded (r4 observed 29.5-2859 fps
+    for the same graphs depending on server load); it is kept, but under an
+    explicit *_contended name — in a finally, so a mid-section exception
+    can't leave partial keys under the clean names — and the idle
+    re-measure (step 5) writes the real names.  Sections whose compile has
+    not resolved when the budget expires land in SKIPPED.
+
+    Unit-tested with stub futures in tests/test_bench_logic.py.
+    """
+    pending = []
+    for name, measure in measures:
+        if futures.get(name) is None:
+            if want(name):
+                SKIPPED.append(name)
+            continue
+        pending.append((name, measure))
+    while pending:
+        left = _remaining()
+        if left <= 0:
+            SKIPPED.extend(n for n, _ in pending)
+            break
+        ready = [(n, m) for n, m in pending if futures[n].done()]
+        if not ready:
+            fwait(
+                {futures[n] for n, _ in pending},
+                timeout=min(left, 15.0),
+                return_when=FIRST_COMPLETED,
+            )
+            continue
+        name, measure = ready[0]  # priority order among the ready ones
+        pending.remove((name, measure))
+        t0 = time.perf_counter()
+        contended = any(not f.done() for f in futures.values())
+        before = set(RESULTS)
+        try:
+            prep = futures[name].result()
+            with _DEV_LOCK:
+                measure(prep)
+            SECTIONS_S[name] = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            RESULTS[f"{name}_error"] = repr(e)[:200]
+        finally:
+            if contended or any(not f.done() for f in futures.values()):
+                for k in set(RESULTS) - before:
+                    if not k.endswith("_error"):
+                        RESULTS[k + "_contended"] = RESULTS.pop(k)
+        emit()
+
+
 def main():
+    # persistent compile cache: useless for the big graphs (see module
+    # docstring) but still saves the hundreds of small init/host-op
+    # compiles.  Set here, not at import time: tests import this module on
+    # the CPU backend, and repointing THEIR process at the TPU cache dir
+    # would write mixed-backend AOT entries into it.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _install_signal_dump()
     only = {
         s.strip() for s in os.environ.get("BENCH_ONLY", "").split(",") if s.strip()
@@ -649,19 +731,29 @@ def main():
             SKIPPED.append(name)
             continue
         t0 = time.perf_counter()
+        # contended if prep compiles were in flight at the START of the
+        # measurement OR at its end: checking only afterwards would record
+        # a run degraded for nearly its whole duration under the clean
+        # field name whenever the last compile resolved just before the
+        # check (r4 measured loader 36-85 img/s contended vs 151 idle).
+        contended = any(not f.done() for f in futures.values())
+        before = set(RESULTS)
         try:
-            before = set(RESULTS)
             if needs_dev:
                 with _DEV_LOCK:
                     fn(shared)
             else:
                 fn(shared)
-            if any(not f.done() for f in futures.values()):
-                for k in set(RESULTS) - before:
-                    RESULTS[k + "_contended"] = RESULTS.pop(k)
             SECTIONS_S[name] = time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001 — a section must not kill the line
             RESULTS[f"{name}_error"] = repr(e)[:200]
+        finally:
+            # in a finally so a mid-section exception can't leave keys it
+            # already wrote under the clean names
+            if contended or any(not f.done() for f in futures.values()):
+                for k in set(RESULTS) - before:
+                    if not k.endswith("_error"):
+                        RESULTS[k + "_contended"] = RESULTS.pop(k)
         emit()
 
     if want("e2e") and "train" in futures and "first_batch" in shared:
@@ -677,38 +769,7 @@ def main():
         ("e2e", lambda p: measure_e2e(p, shared)),
         ("latency", lambda p: measure_latency(p)),
     ]
-    for name, measure in measures:
-        fut = futures.get(name)
-        if fut is None:
-            if want(name):
-                SKIPPED.append(name)
-            continue
-        left = _remaining()
-        if left <= 0:
-            SKIPPED.append(name)
-            continue
-        t0 = time.perf_counter()
-        try:
-            prep = fut.result(timeout=left)
-            # a measurement taken while other section compiles are in
-            # flight can be arbitrarily degraded (r4 observed 29.5-2859 fps
-            # for the same graphs depending on server load); keep it, but
-            # under an explicit *_contended name so a premature kill never
-            # records a contended number as the real field — the idle
-            # re-measure below writes the real names
-            contended = any(not f.done() for f in futures.values())
-            before = set(RESULTS)
-            with _DEV_LOCK:
-                measure(prep)
-            if contended:
-                for k in set(RESULTS) - before:
-                    RESULTS[k + "_contended"] = RESULTS.pop(k)
-            SECTIONS_S[name] = time.perf_counter() - t0
-        except TimeoutError:
-            SKIPPED.append(name)
-        except Exception as e:  # noqa: BLE001
-            RESULTS[f"{name}_error"] = repr(e)[:200]
-        emit()
+    run_device_sections(futures, measures, want)
 
     # 5. idle re-measure.  In-flight remote compiles measurably degrade
     # concurrent device execution (r4 measured: temporal_k3 685 fps while

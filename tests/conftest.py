@@ -33,10 +33,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+import pytest  # noqa: E402
+
+
+@pytest.hookimpl(optionalhook=True)
 def pytest_xdist_auto_num_workers(config):
     """`pytest -n auto` wiring for multi-core hosts: one worker per core
     less one for the dispatcher.  On this 1-core box -n auto degenerates to
     a single worker — run the suite serially here; the hook exists so a
     TPU-VM-class host (~100 cores) can parallelise the compile-bound suite
-    without extra flags (VERDICT r3 hygiene)."""
+    without extra flags (VERDICT r3 hygiene).  optionalhook: on a host
+    without pytest-xdist the hook is simply unknown to pluggy — without the
+    marker that is a PluginValidationError that INTERNALERRORs the whole
+    suite before a single test runs."""
     return max(1, (os.cpu_count() or 1) - 1)

@@ -39,8 +39,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/videoyolo_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def _force(o):
-    jax.device_get(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
+from videoyolo_tpu.profiling import force as _force  # noqa: E402 — the one
+# shared tunnel-barrier primitive; never re-roll it (the copies drift)
 
 
 def timeit_ms(f, *args, iters=20):
