@@ -79,4 +79,16 @@ for epoch in range(2):
     assert abs(total - expect) < 1e-3, (total, expect)
     print(f"proc{PID} epoch{epoch} OK total={total}", flush=True)
 
+# coordinator gating + coordinated control flow (the train CLI's
+# --max_epoch_time cutoff must be a joint decision — a lone early exit
+# deadlocks the peers inside the gradient all-reduce)
+from videoyolo_tpu.parallel.multihost import is_coordinator, sync_flag  # noqa: E402
+
+assert is_coordinator() == (PID == 0)
+# both processes call sync_flag at the same sequence points; everyone gets
+# the COORDINATOR's value regardless of their own
+assert sync_flag(PID == 0) is True  # coord says True
+assert sync_flag(PID != 0) is False  # coord says False
+print(f"proc{PID} syncflag OK", flush=True)
+
 print(f"proc{PID} DONE", flush=True)

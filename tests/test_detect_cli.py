@@ -9,6 +9,8 @@ import os
 import subprocess
 import sys
 
+from videoyolo_tpu.utils.general import cpu_cache_dir
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -43,7 +45,7 @@ def test_detect_cli_sharded_with_tail(tmp_path):
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     args = [

@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+from videoyolo_tpu.utils.general import cpu_cache_dir
+
 import numpy as np
 import pytest
 
@@ -29,7 +31,7 @@ def test_extract_cli_writes_feature_files(tmp_path):
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(

@@ -31,6 +31,14 @@ def test_process_indices_partition_disjoint_and_covering():
     assert not np.array_equal(shards[1], other)
 
 
+def test_coordinator_and_sync_flag_single_process():
+    from videoyolo_tpu.parallel.multihost import is_coordinator, sync_flag
+
+    assert is_coordinator() is True  # single process is its own coordinator
+    assert sync_flag(True) is True  # identity, no collective
+    assert sync_flag(False) is False
+
+
 def test_put_global_batch_shards_over_mesh():
     import jax
 
@@ -110,3 +118,4 @@ def test_true_two_process_assembly():
         assert p.returncode == 0, f"proc{i} failed:\n{out}"
         assert f"proc{i} DONE" in out, out
         assert f"proc{i} epoch0 OK" in out and f"proc{i} epoch1 OK" in out, out
+        assert f"proc{i} syncflag OK" in out, out

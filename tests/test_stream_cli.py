@@ -9,6 +9,8 @@ import os
 import subprocess
 import sys
 
+from videoyolo_tpu.utils.general import cpu_cache_dir
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -34,7 +36,7 @@ def test_stream_cli_detects_per_frame(tmp_path):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
@@ -89,7 +91,7 @@ def test_stream_cli_t5_funnel_center(tmp_path):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
@@ -134,7 +136,7 @@ def test_stream_cli_quantized(tmp_path):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
@@ -213,7 +215,7 @@ def test_stream_cli_t5_mult_out_flat_layout(tmp_path):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
@@ -294,7 +296,7 @@ def test_stream_cli_vid_dataset_single_frames(tmp_path):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(

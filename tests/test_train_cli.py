@@ -9,6 +9,8 @@ import os
 import subprocess
 import sys
 
+from videoyolo_tpu.utils.general import cpu_cache_dir
+
 import numpy as np
 import pytest
 
@@ -71,7 +73,7 @@ def test_train_cli_one_epoch(voc_tree, tmp_path):
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=1",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
@@ -85,6 +87,68 @@ def test_train_cli_one_epoch(voc_tree, tmp_path):
         f
         for f in os.listdir(os.path.join(save_dir, "0000"))
         if f.endswith("_0000.params")
+    ]
+    assert ckpts, os.listdir(os.path.join(save_dir, "0000"))
+
+
+def test_train_cli_preemption_checkpoints_and_exits_clean(voc_tree, tmp_path):
+    """Graceful preemption: SIGTERM mid-training (the spot/preemptible TPU
+    preemption notice) finishes the in-flight step, writes an epoch-named
+    checkpoint that --start_epoch -1 auto-resumes from, and exits 0."""
+    import signal
+    import time
+
+    save_dir = tmp_path / "exp"
+    cmd = [
+        sys.executable, "-u",
+        "train_yolov3.py",
+        "--dataset=voc",
+        f"--dataset_root={voc_tree}",
+        "--batch_size=2",
+        "--data_shape=96",
+        "--no_random_shape",
+        "--epochs=500",  # far more than can run; preemption must end it
+        "--val_interval=0",
+        "--save_interval=0",  # nothing saved on the normal path
+        "--nopretrained_cnn",
+        "--num_workers=1",
+        "--log_interval=1",
+        "--save_prefix=0000",
+        f"--experiment_root={save_dir}",
+    ]
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    p = subprocess.Popen(
+        cmd, cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        # wait until training has demonstrably stepped (first batch line),
+        # then deliver the preemption signal
+        deadline = time.time() + 900
+        lines = []
+        for line in p.stdout:
+            lines.append(line)
+            if "[Batch" in line or time.time() > deadline:
+                break
+        assert any("[Batch" in l for l in lines), "".join(lines)[-4000:]
+        p.send_signal(signal.SIGTERM)
+        rest, _ = p.communicate(timeout=300)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    out = "".join(lines) + rest
+    assert p.returncode == 0, out[-4000:]
+    assert "Preempted: wrote" in out, out[-4000:]
+    ckpts = [
+        f
+        for f in os.listdir(os.path.join(save_dir, "0000"))
+        if f.endswith(".params") and "_best" not in f
     ]
     assert ckpts, os.listdir(os.path.join(save_dir, "0000"))
 
@@ -155,7 +219,7 @@ def test_train_cli_vid_mult_out_temporal_validation(vid_tree, tmp_path):
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=1",
-        JAX_COMPILATION_CACHE_DIR="/tmp/videoyolo_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR=cpu_cache_dir(),
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(

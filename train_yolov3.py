@@ -351,8 +351,14 @@ def get_val_metric(val_dataset, save_prefix):
     val_names = list(FLAGS.dataset_val or FLAGS.dataset)
     combined = len(val_names) > 1 or val_names[0] == "comb"
     if not combined and val_names[0] == "coco":
+        import jax
+
+        # multi-host: every process evaluates the full val set (see
+        # get_dataloader), and this metric WRITES a results json — give each
+        # process its own file so a pod-shared save dir doesn't race
+        suffix = f"_eval_p{jax.process_index()}" if jax.process_count() > 1 else "_eval"
         return COCODetectionMetric(
-            val_dataset, save_prefix + "_eval", cleanup=True,
+            val_dataset, save_prefix + suffix, cleanup=True,
             data_shape=(FLAGS.data_shape, FLAGS.data_shape),
         )
     if not combined and val_names[0] == "vid" and FLAGS.mult_out:
@@ -477,17 +483,27 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
 
     eval_step = jax.jit(make_eval_step(model))
 
-    writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    # multi-host pods: host-side artifacts (TB events, _train.log,
+    # checkpoints, _best_map.log) are written by the coordinator only —
+    # concurrent writers to a pod-shared save dir corrupt each other
+    # (parallel/multihost.is_coordinator; the reference is single-process
+    # and writes unconditionally, train_yolov3.py:289-309)
+    from videoyolo_tpu.parallel.multihost import is_coordinator, sync_any, sync_flag
 
-        writer = SummaryWriter(log_dir=os.path.dirname(save_prefix))
-    except Exception:
-        pass
+    coord = is_coordinator()
+    writer = None
+    if coord:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(log_dir=os.path.dirname(save_prefix))
+        except Exception:
+            pass
 
     logger = logging.getLogger()
-    fh = logging.FileHandler(save_prefix + "_train.log")
-    logger.addHandler(fh)
+    if coord:
+        fh = logging.FileHandler(save_prefix + "_train.log")
+        logger.addHandler(fh)
 
     best_map = 0.0
     best_log = save_prefix + "_best_map.log"
@@ -504,6 +520,25 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
 
     metric = get_val_metric(val_dataset, save_prefix)
     global_step = start_epoch * steps_per_epoch
+
+    # graceful preemption: spot/preemptible TPU pods get SIGTERM with a
+    # short grace window.  Finish the in-flight step, checkpoint under the
+    # standard epoch naming (so `--start_epoch -1` auto-resumes from it),
+    # and exit 0 instead of dying mid-write.  Resume is epoch-granular —
+    # the interrupted epoch restarts from its beginning, same as any other
+    # checkpoint of this format.
+    import signal
+
+    preempt = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempt["flag"] = True
+        logging.warning("SIGTERM: will checkpoint at the next step boundary and exit")
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not on the main thread (embedded/test harness use)
+        prev_sigterm = None
 
     for epoch in range(start_epoch, FLAGS.epochs):
         if FLAGS.mixup and hasattr(train_dataset, "set_mixup"):
@@ -569,8 +604,33 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
                         for k in ("obj", "center", "scale", "cls"):
                             writer.add_scalar(f"loss/{k}", m[k], global_step)
                     btic = time.time()
-                if FLAGS.max_epoch_time > 0 and (time.time() - tic) / 60 > FLAGS.max_epoch_time:
-                    logging.info("Epoch %d cut off at max_epoch_time", epoch)
+                if FLAGS.max_epoch_time > 0:
+                    cut = (time.time() - tic) / 60 > FLAGS.max_epoch_time
+                    if jax.process_count() > 1:
+                        # all processes must agree before ANY stops issuing
+                        # pjit steps — wall clocks cross the threshold at
+                        # different batch indices, and a lone early exit
+                        # deadlocks the peers inside the gradient
+                        # all-reduce.  Agree on the coordinator's clock at
+                        # log-interval boundaries only (same batch index on
+                        # every process by the lockstep schedule), keeping
+                        # the agreement collective off the steady-state path.
+                        check = FLAGS.log_interval or 100
+                        cut = (i + 1) % check == 0 and sync_flag(cut)
+                    if cut:
+                        logging.info("Epoch %d cut off at max_epoch_time", epoch)
+                        break
+                stop = preempt["flag"]
+                if jax.process_count() > 1:
+                    # the signal can land on ANY subset of hosts; agree at
+                    # log-interval boundaries (same call-site discipline —
+                    # and relative order vs the max_epoch_time collective —
+                    # on every process) before anyone stops issuing steps
+                    stop = (i + 1) % (FLAGS.log_interval or 100) == 0 and sync_any(
+                        preempt["flag"]
+                    )
+                if stop:
+                    preempt["stop"] = True
                     break
         if profiling:  # epoch shorter than the capture window
             jax.profiler.stop_trace()
@@ -578,6 +638,20 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
             "[Epoch %d] done in %.1fs, %.3f samples/sec",
             epoch, time.time() - tic, seen / max(time.time() - tic, 1e-9),
         )
+
+        if preempt.get("stop"):
+            from videoyolo_tpu.train.checkpoint import save_variables
+
+            if coord:
+                save_variables(
+                    f"{save_prefix}_{epoch:04d}.params",
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                )
+            logging.warning(
+                "Preempted: wrote %s_%04d.params; resume with --start_epoch -1",
+                save_prefix, epoch,
+            )
+            break
 
         current_map = 0.0
         if val_loader is not None and FLAGS.val_interval and (epoch + 1) % FLAGS.val_interval == 0:
@@ -592,10 +666,15 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
             if writer:
                 writer.add_scalar("val/mAP", current_map, epoch)
 
-        ckpt_vars = {"params": state.params, "batch_stats": state.batch_stats}
-        best_map = save_params(
-            save_prefix, ckpt_vars, current_map, best_map, epoch, FLAGS.save_interval
-        )
+        if coord:
+            ckpt_vars = {"params": state.params, "batch_stats": state.batch_stats}
+            best_map = save_params(
+                save_prefix, ckpt_vars, current_map, best_map, epoch, FLAGS.save_interval
+            )
+        else:
+            best_map = max(best_map, current_map)
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     return state
 
 

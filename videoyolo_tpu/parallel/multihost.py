@@ -23,7 +23,56 @@ __all__ = [
     "local_batch_size",
     "process_epoch_indices",
     "put_global_batch",
+    "is_coordinator",
+    "sync_flag",
+    "sync_any",
 ]
+
+
+def is_coordinator() -> bool:
+    """True on exactly one process per job (process_index 0).
+
+    Host-side artifacts — checkpoints, `_best_map.log`, TensorBoard events,
+    the `_train.log` file handler — must be written by ONE process: on a
+    pod-shared filesystem concurrent writers corrupt each other, and even on
+    process-local disks the duplicated work is pure waste.  The reference is
+    single-process so it never needed this guard (train_yolov3.py:289-309
+    writes unconditionally)."""
+    return jax.process_index() == 0
+
+
+def sync_flag(value: bool) -> bool:
+    """All processes agree on the COORDINATOR's boolean.
+
+    For host-clock-derived control flow (e.g. the train CLI's
+    `--max_epoch_time` epoch cutoff): each process's wall clock crosses the
+    threshold at a different batch index, and a process that stops issuing
+    the pjit step while its peers continue deadlocks the job inside a GSPMD
+    collective.  This is itself a collective — every process must call it at
+    the SAME point in its step sequence (the train CLI checks only on
+    log-interval boundaries, which the lockstep batch schedule guarantees).
+
+    Single-process: identity, no device traffic.
+    """
+    if jax.process_count() == 1:
+        return bool(value)
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.broadcast_one_to_all(np.asarray(bool(value))))
+
+
+def sync_any(value: bool) -> bool:
+    """True everywhere iff ANY process passed True.
+
+    For signals that can land on any subset of hosts (preemption SIGTERM):
+    unlike `sync_flag`, a non-coordinator's True must also stop the job.
+    Same collective call-site discipline as `sync_flag`.  Single-process:
+    identity."""
+    if jax.process_count() == 1:
+        return bool(value)
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.process_allgather(np.asarray(bool(value))).any())
 
 
 def local_batch_size(global_batch_size: int, process_count: Optional[int] = None) -> int:
