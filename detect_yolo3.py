@@ -83,6 +83,15 @@ flags.DEFINE_enum(
     "(per-image scales).",
 )
 flags.DEFINE_boolean(
+    "skip_existing", False,
+    "Resume an interrupted detect sweep: samples whose pred/*.txt cache "
+    "files already exist (every window offset, for mult_out) are neither "
+    "decoded nor re-detected; the final predictions reload from the "
+    "completed cache.  (Beyond the reference, whose cache is all-or-"
+    "nothing: one missing file re-runs the whole sweep.)  Not compatible "
+    "with --stream (the ring buffer needs consecutive frames).",
+)
+flags.DEFINE_boolean(
     "stream", False,
     "Streaming sliding-window detection (videoyolo_tpu/streaming.py, "
     "--window k > 1, any YOLOv3T config incl. conv-RNN): frames run in "
@@ -533,36 +542,75 @@ def _pred_dirname(agnostic, offset=None):
     return base
 
 
-def save_predictions(save_dir, dataset, boxes, max_do=-1, agnostic=False):
+def save_predictions(save_dir, dataset, boxes, max_do=-1, agnostic=False, indices=None):
     """pred/*.txt cache, reference format (detect_yolo3.py:275-331); with
-    mult_out, one pred_o{t} dir per window offset (:291-300)."""
+    mult_out, one pred_o{t} dir per window offset (:291-300).  `indices`
+    restricts the write to those samples' files (a --skip_existing resume
+    must not clobber finished samples' files with empty ones)."""
     if _mult_out_layout():
         for off, b in enumerate(boxes):
             _save_predictions_dict(
                 os.path.join(save_dir, _pred_dirname(agnostic, off)), dataset, b, max_do,
                 paths=lambda idx, off=off: dataset.window_paths(idx)[off],
+                indices=indices,
             )
         return save_dir
     return _save_predictions_dict(
         os.path.join(save_dir, _pred_dirname(agnostic)), dataset, boxes, max_do,
         paths=dataset.sample_path,
+        indices=indices,
     )
 
 
-def _save_predictions_dict(save_dir, dataset, boxes, max_do, paths):
+def _missing_indices(save_dir, dataset, max_do=-1, agnostic=False):
+    """Sample indices whose pred cache files are incomplete — the
+    --skip_existing resume set.  A sample counts as done only when EVERY
+    file it would write exists (all five offset dirs for mult_out)."""
+    if max_do < 0:
+        max_do = len(dataset)
+    missing = []
+    for idx in range(min(len(dataset), max_do)):
+        if _mult_out_layout():
+            needed = [
+                (os.path.join(save_dir, _pred_dirname(agnostic, off)),
+                 dataset.window_paths(idx)[off])
+                for off in range(5)
+            ]
+        else:
+            needed = [
+                (os.path.join(save_dir, _pred_dirname(agnostic)),
+                 dataset.sample_path(idx))
+            ]
+        for d, img_path in needed:
+            if not os.path.isdir(d) or not os.path.exists(
+                os.path.join(d, _file_id(dataset, img_path, d) + ".txt")
+            ):
+                missing.append(idx)
+                break
+    return missing
+
+
+def _save_predictions_dict(save_dir, dataset, boxes, max_do, paths, indices=None):
     os.makedirs(save_dir, exist_ok=True)
     if max_do < 0:
         max_do = len(dataset)
-    for idx in range(min(len(dataset), max_do)):
+    for idx in indices if indices is not None else range(min(len(dataset), max_do)):
         img_path = paths(idx)
         fid = _file_id(dataset, img_path, save_dir)
-        with open(os.path.join(save_dir, fid + ".txt"), "w") as f:
+        # atomic write (tmp + rename): a kill mid-write must leave either a
+        # complete file or no file — cache resume treats a MISSING file as
+        # "re-detect" but trusts any file that exists, so a truncated tail
+        # file would silently drop that image's boxes on the resumed run
+        final = os.path.join(save_dir, fid + ".txt")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             for box in boxes.get(img_path, []):
                 f.write(
                     "{},{},{},{},{},{},{}\n".format(
                         img_path, box[0], box[1], box[2], box[3], box[4], box[5]
                     )
                 )
+        os.replace(tmp, final)
     return save_dir
 
 
@@ -925,11 +973,37 @@ def main(_argv):
                 for p in probe
             ):
                 native_hw = (FLAGS.data_shape, FLAGS.data_shape)
+        detect_indices = None  # None = full sweep
+        if FLAGS.skip_existing and not FLAGS.export_model:
+            assert not FLAGS.stream, (
+                "--skip_existing cannot compose with --stream: the ring "
+                "buffer needs consecutive frames"
+            )
+            n_all = min(
+                len(dataset), FLAGS.max_do if FLAGS.max_do >= 0 else len(dataset)
+            )
+            detect_indices = _missing_indices(
+                save_dir, dataset, FLAGS.max_do, FLAGS.model_agnostic
+            )
+            logging.info(
+                "Resuming detect: %d/%d samples still to run",
+                len(detect_indices), n_all,
+            )
+            if not detect_indices:
+                # only reachable if the earlier full-cache load raced a
+                # concurrent writer; a full sweep is always correct
+                detect_indices = None
         loader = DetectionLoader(
             dataset,
             batch_size=1 if FLAGS.stream else FLAGS.batch_size,
             num_workers=FLAGS.num_workers,
             native_decode=native_hw,
+            sampler=(
+                (lambda epoch, idxs=tuple(detect_indices): np.asarray(idxs, np.int64))
+                if detect_indices is not None
+                else None
+            ),
+            num_samples=len(detect_indices) if detect_indices is not None else None,
         )
         model, variables = get_net_and_params(len(classes))
         if FLAGS.quantize:
@@ -978,9 +1052,20 @@ def main(_argv):
             boxes = detect_stream(model, variables, dataset, loader, FLAGS.max_do)
         else:
             boxes = detect(model, variables, dataset, loader, FLAGS.max_do)
-        save_predictions(save_dir, dataset, boxes, FLAGS.max_do, FLAGS.model_agnostic)
+        save_predictions(
+            save_dir, dataset, boxes, FLAGS.max_do, FLAGS.model_agnostic,
+            indices=detect_indices,
+        )
         dataset._transform = None
-        predictions = boxes
+        if detect_indices is not None:
+            # partial resume: `boxes` holds only the just-detected samples;
+            # the cache is now complete — reload the full prediction set
+            predictions = load_predictions(
+                save_dir, dataset, FLAGS.max_do, FLAGS.model_agnostic
+            )
+            assert predictions is not None, "resumed cache still incomplete"
+        else:
+            predictions = boxes
 
     if _mult_out_layout():
         eval_predictions = predictions[FLAGS.offset + 2]

@@ -36,6 +36,12 @@ flags.DEFINE_float(
 )
 flags.DEFINE_list("gpus", [0], "Kept for reference CLI parity; devices come from JAX.")
 flags.DEFINE_integer("num_workers", 8, "Data loading workers.")
+flags.DEFINE_bool(
+    "skip_existing", False,
+    "Resume an interrupted sweep: samples whose _F1/_F2/_F3.npy files all "
+    "exist are neither decoded nor re-extracted (beyond the reference, "
+    "which always restarts from scratch).",
+)
 
 
 def get_dataset(dataset_name):
@@ -176,16 +182,31 @@ def extract(save_dir, dataset, loader):
             # otherwise save as "<name>.J_F1.npy" and never be found by the
             # features_dir loaders (pascalvoc.py / imgnetvid.py strip
             # extensions properly)
-            file_id = os.path.splitext(os.path.basename(img_path))[0]
+            p1, p2, p3 = _feature_paths(save_dir, img_path)
             if FLAGS.dataset == "vid":
-                file_id = os.path.join(
-                    img_path.split(os.sep)[-2],
-                    os.path.splitext(os.path.basename(img_path))[0],
-                )
-                os.makedirs(os.path.join(save_dir, img_path.split(os.sep)[-2]), exist_ok=True)
-            np.save(os.path.join(save_dir, file_id + "_F1.npy"), f1[i])
-            np.save(os.path.join(save_dir, file_id + "_F2.npy"), f2[i])
-            np.save(os.path.join(save_dir, file_id + "_F3.npy"), f3[i])
+                os.makedirs(os.path.dirname(p1), exist_ok=True)
+            _atomic_save(p1, f1[i])
+            _atomic_save(p2, f2[i])
+            _atomic_save(p3, f3[i])
+
+
+def _feature_paths(save_dir, img_path):
+    """The three .npy paths a sample saves to (and `--skip_existing` probes).
+    VID keeps the clip directory so frame ids stay unique across clips."""
+    file_id = os.path.splitext(os.path.basename(img_path))[0]
+    if FLAGS.dataset == "vid":
+        file_id = os.path.join(img_path.split(os.sep)[-2], file_id)
+    return tuple(os.path.join(save_dir, file_id + s) for s in ("_F1.npy", "_F2.npy", "_F3.npy"))
+
+
+def _atomic_save(path, arr):
+    """np.save via tmp + rename: a kill mid-write must leave no truncated
+    .npy — the features_dir loaders trust any file that exists, so a partial
+    file would poison the downstream no-backbone training run."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
 
 
 def main(_argv):
@@ -198,11 +219,34 @@ def main(_argv):
     # decode core when every sample is a JPEG (videoyolo_tpu/native)
     probe = [dataset.sample_path(i) for i in range(min(len(dataset), 8))]
     all_jpeg = all(p.lower().endswith((".jpg", ".jpeg")) for p in probe)
+    sampler = None
+    num_samples = None
+    if FLAGS.skip_existing:
+        # resume: filter BEFORE the loader so finished samples are never
+        # decoded, not just never re-saved
+        missing = [
+            i
+            for i in range(len(dataset))
+            if not all(
+                os.path.exists(p)
+                for p in _feature_paths(FLAGS.save_dir, dataset.sample_path(i))
+            )
+        ]
+        if not missing:
+            logging.info("All %d samples already extracted in %s", len(dataset), FLAGS.save_dir)
+            return
+        logging.info(
+            "Resuming: %d/%d samples still to extract", len(missing), len(dataset)
+        )
+        sampler = lambda epoch: np.asarray(missing)  # noqa: E731
+        num_samples = len(missing)
     loader = DetectionLoader(
         dataset,
         batch_size=FLAGS.batch_size,
         num_workers=FLAGS.num_workers,
         native_decode=(FLAGS.data_shape, FLAGS.data_shape) if all_jpeg else None,
+        sampler=sampler,
+        num_samples=num_samples,
     )
     extract(FLAGS.save_dir, dataset, loader)
     logging.info("Saved features for %d samples to %s", len(dataset), FLAGS.save_dir)

@@ -73,3 +73,22 @@ def test_detect_cli_sharded_with_tail(tmp_path):
     r2 = _run(args, env)
     assert r2.returncode == 0, (r2.stdout + r2.stderr)[-4000:]
     assert {f: os.path.getmtime(pred_dir / f) for f in files} == mtimes
+
+    # partial resume (--skip_existing): delete two samples' files — the
+    # all-or-nothing cache load fails, but only the 2 missing samples are
+    # re-detected and written; finished samples' files are not rewritten
+    # (their mtimes survive — a full save would clobber them with empties)
+    for f in ("im1.txt", "im3.txt"):
+        os.remove(pred_dir / f)
+    r3 = _run(args + ["--skip_existing"], env)
+    out3 = r3.stdout + r3.stderr
+    assert r3.returncode == 0, out3[-4000:]
+    assert "Resuming detect: 2/5" in out3, out3[-2000:]
+    kept = [f for f in files if f not in ("im1.txt", "im3.txt")]
+    assert {f: os.path.getmtime(pred_dir / f) for f in kept} == {
+        f: mtimes[f] for f in kept
+    }
+    for f in ("im1.txt", "im3.txt"):
+        for line in (pred_dir / f).read_text().splitlines():
+            parts = line.split(",")
+            assert len(parts) == 7 and 0.0 <= float(parts[2]) <= 1.0

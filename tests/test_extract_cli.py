@@ -59,3 +59,53 @@ def test_extract_cli_writes_feature_files(tmp_path):
         assert f2.shape == (6, 6, 512)
         assert f3.shape == (3, 3, 1024)
         assert np.isfinite(f1).all()
+    assert not list(save_dir.glob("*.tmp")), "atomic-save tmp left behind"
+
+    # --skip_existing resumes: delete one sample's files, rerun — only the
+    # missing sample is extracted (the log says 1/3), the rest untouched
+    mtime_before = os.path.getmtime(save_dir / "im0_F1.npy")
+    for s in ("_F1", "_F2", "_F3"):
+        os.remove(save_dir / f"im2{s}.npy")
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            "extract_base_features.py",
+            f"--dataset={listing}",
+            f"--save_dir={save_dir}",
+            "--batch_size=2",
+            "--data_shape=96",
+            "--num_workers=1",
+            "--skip_existing",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    out2 = r2.stdout + r2.stderr
+    assert r2.returncode == 0, out2[-4000:]
+    assert "Resuming: 1/3" in out2, out2[-2000:]
+    assert np.load(save_dir / "im2_F1.npy").shape == (12, 12, 256)
+    assert os.path.getmtime(save_dir / "im0_F1.npy") == mtime_before
+
+    # all present -> no work at all
+    r3 = subprocess.run(
+        [
+            sys.executable,
+            "extract_base_features.py",
+            f"--dataset={listing}",
+            f"--save_dir={save_dir}",
+            "--data_shape=96",
+            "--num_workers=1",
+            "--skip_existing",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    out3 = r3.stdout + r3.stderr
+    assert r3.returncode == 0, out3[-4000:]
+    assert "already extracted" in out3, out3[-2000:]

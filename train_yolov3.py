@@ -524,9 +524,11 @@ def train(model, variables, train_dataset, train_loader, val_loader, val_dataset
     # graceful preemption: spot/preemptible TPU pods get SIGTERM with a
     # short grace window.  Finish the in-flight step, checkpoint under the
     # standard epoch naming (so `--start_epoch -1` auto-resumes from it),
-    # and exit 0 instead of dying mid-write.  Resume is epoch-granular —
-    # the interrupted epoch restarts from its beginning, same as any other
-    # checkpoint of this format.
+    # and exit 0 instead of dying mid-write.  The checkpoint holds the
+    # mid-epoch state (strictly more progress than any interval save);
+    # resume continues at the NEXT epoch — the interrupted epoch's
+    # remaining batches are not replayed, the standard epoch-granular
+    # tradeoff for this checkpoint format.
     import signal
 
     preempt = {"flag": False}

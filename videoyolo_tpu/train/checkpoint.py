@@ -34,8 +34,14 @@ def save_variables(path: str, variables: Dict[str, Any]) -> str:
     payload = serialization.to_bytes(
         {k: serialization.to_state_dict(v) for k, v in variables.items()}
     )
-    with open(path, "wb") as f:
+    # atomic (tmp + rename): a kill mid-write (e.g. the preemption grace
+    # window expiring) must not leave a truncated .params that
+    # find_latest/--start_epoch -1 would pick and crash on; the .tmp
+    # suffix also keeps partial files out of find_latest's *.params glob
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(payload)
+    os.replace(tmp, path)
     return path
 
 
