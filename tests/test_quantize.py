@@ -288,17 +288,45 @@ def test_quantized_temporal_3d_blocks_track_f32(conv_type):
     assert corr_s > 0.99, corr_s
 
 
-def test_quant_rejects_rnn_configs():
+@pytest.mark.parametrize("rnn_pos", ["late", "out"])
+def test_quantized_rnn_configs_track_f32_mixed_precision(rnn_pos):
+    """int8 for the conv-RNN temporal configs (reference yolo3.py:1016-1019
+    rnn tips): MIXED precision — the structural walk quantises every
+    ConvBNLeaky cell (stages, blocks, transitions) while the ConvRNN
+    tips/outputs pass through real-valued (no BN to fold; requantising the
+    recurrent carry would compound rounding over the k-step scan).  Same
+    split the two-stream family uses for its BN-less motion stream."""
+    import dataclasses
+
     from videoyolo_tpu.models.yolo3_temporal import YOLOv3T
+    from videoyolo_tpu.ops.quantize import calibrate_detector_variables
 
     model = YOLOv3T(
         num_classes=3, k=3, k_join_type="max", k_join_pos="late",
-        rnn_pos="late", quant=True,
+        rnn_pos=rnn_pos,
     )
-    with pytest.raises(AssertionError):
-        model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64, 3)), train=False
-        )
+    rs = np.random.RandomState(12)
+    x = jnp.asarray(rs.rand(1, 3, 96, 96, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    qvars = quantize_detector_variables(variables)
+    # the RNN cells' params must survive the walk untouched (they are not
+    # Conv_0+BatchNorm_0 shaped)
+    flat_q = jax.tree_util.tree_flatten_with_path(qvars)[0]
+    assert any("rnn" in jax.tree_util.keystr(p) or "fwd" in jax.tree_util.keystr(p)
+               for p, _ in flat_q)
+    qdyn = dataclasses.replace(model, quant=True)
+
+    boxes, scores = model.apply(variables, x, train=False)
+    qboxes, qscores = qdyn.apply(qvars, x, train=False)
+    corr = np.corrcoef(np.asarray(scores).ravel(), np.asarray(qscores).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    qvars_s = calibrate_detector_variables(qdyn, qvars, [x])
+    qstat = dataclasses.replace(model, quant="static")
+    sboxes, sscores = qstat.apply(qvars_s, x, train=False)
+    assert np.isfinite(np.asarray(sboxes)).all()
+    corr_s = np.corrcoef(np.asarray(scores).ravel(), np.asarray(sscores).ravel())[0, 1]
+    assert corr_s > 0.99, corr_s
 
 
 @pytest.mark.parametrize("gated", [False, True])

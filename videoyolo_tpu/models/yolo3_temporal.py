@@ -185,17 +185,20 @@ class YOLOv3T(nn.Module):
     anchors: Any = DEFAULT_ANCHORS
     strides: Sequence[int] = DEFAULT_STRIDES
     channels: Sequence[int] = FPN_CHANNELS
-    # int8 serving (ops/quantize.py): 2D/3D/2+1D blocks, no RNN; built-in
-    # backbone or a quant-threaded one (e.g. TwoStreamDarknet's mixed int8)
+    # int8 serving (ops/quantize.py): 2D/3D/2+1D blocks; built-in backbone
+    # or a quant-threaded one (e.g. TwoStreamDarknet's mixed int8).  RNN
+    # configs serve MIXED precision: every ConvBNLeaky cell (stages, blocks,
+    # transitions) quantises, the ConvRNN tips/outputs stay real-valued —
+    # requantising the recurrent carry would compound rounding across the
+    # k-step scan (and the GRU/LSTM gates are elementwise, nothing for the
+    # int8 MXU path anyway), the same split the two-stream family uses for
+    # its BN-less motion stream.
     quant: Any = False
     dtype: Optional[Any] = None
 
     def _validate(self):
         # the reference's config asserts (yolo3.py:978-995)
         if self.quant:
-            assert self.rnn_pos is None, (
-                "int8 serving covers non-RNN temporal configs"
-            )
             if self.backbone is not None:
                 assert getattr(self.backbone, "quant", None) == self.quant, (
                     "a custom backbone must carry the same quant mode "
@@ -266,6 +269,7 @@ class YOLOv3T(nn.Module):
                     self.block_conv_type,
                     with_tip=False,
                     name=f"block{i}",
+                    quant=self.quant,
                     dtype=self.dtype,
                 )(y, train)
                 tip = ConvRNN(

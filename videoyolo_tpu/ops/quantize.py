@@ -135,9 +135,9 @@ def assert_quantizable(model):
     if type(model) in (YOLOv3, YOLOv3Temporal):
         return
     if type(model) is YOLOv3T:
-        assert model.rnn_pos is None, (
-            "int8 on temporal models covers non-RNN configs"
-        )
+        # RNN configs serve mixed precision: ConvBNLeaky cells int8, the
+        # ConvRNN tips/outputs real-valued (no BN to fold; requantising the
+        # recurrent carry would compound rounding across the k-step scan)
         assert model.backbone is None or isinstance(
             model.backbone, TwoStreamDarknet
         ), (
