@@ -35,6 +35,44 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
 
+# Lane split (markers declared in pytest.ini): modules whose tests compile a
+# full model on XLA:CPU, drive a CLI subprocess, or fuzz — minutes each on
+# this 1-core host — are `heavy`; everything else is `fast`, the <10 min
+# smoke lane (`pytest -m fast`).  Module-level marking keeps the split in
+# one audited list instead of scattered decorators.
+HEAVY_MODULES = {
+    "test_aux_models_utils",   # FlowNet/R21D/MobileNet/HDarknet compiles
+    "test_detect_cli",         # detect_yolo3.py subprocess end-to-end
+    "test_extract_cli",        # extract CLI subprocess
+    "test_freeze_pretrained",  # full-model train-step compiles
+    "test_inflate",            # 2D->3D inflation forward probes
+    "test_model",              # YOLOv3 family forwards
+    "test_multihost",          # two-process jax.distributed
+    "test_native_train",       # native loader + train step
+    "test_nms_fuzz",           # hypothesis fuzzing
+    "test_no_backbone",        # no-backbone train/apply compiles
+    "test_pallas_conv",        # pallas kernel compiles (CPU interpret)
+    "test_pallas_nms",
+    "test_pp",                 # pipeline-parallel apply
+    "test_quantize",           # int8 conversions of every family
+    "test_s2d",                # refolded-stem forwards
+    "test_serving",            # export/reload round-trips
+    "test_spatial",            # sharded apply vs replicated
+    "test_stream_cli",         # streaming CLI subprocess
+    "test_streaming",          # ring-buffer vs window recompute
+    "test_surgery",            # reset_class weight surgery forwards
+    "test_temporal_models",    # YOLOv3T/Temporal config sweep
+    "test_train_cli",          # train CLI subprocess end-to-end
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(
+            pytest.mark.heavy if mod in HEAVY_MODULES else pytest.mark.fast
+        )
+
 
 @pytest.hookimpl(optionalhook=True)
 def pytest_xdist_auto_num_workers(config):
