@@ -103,7 +103,8 @@ def test_reader_rejects_garbage(tmp_path):
 
 needs_fixture = pytest.mark.skipif(
     not os.path.exists(os.path.join(FIXTURES, "darknet53.params")),
-    reason="run tools/dump_fixtures.py under mxnet/gluoncv and copy outputs "
+    reason="needs tests/fixtures/darknet53.params + darknet53_activations.npz: "
+    "run tools/dump_fixtures.py under mxnet/gluoncv and copy its output "
     "into tests/fixtures/ (no mxnet/egress in this environment)",
 )
 
@@ -261,8 +262,9 @@ needs_decode_fixture = pytest.mark.skipif(
         os.path.exists(os.path.join(FIXTURES, "yolo3_darknet53_voc.params"))
         and os.path.exists(os.path.join(FIXTURES, "yolo3_voc_decode.npz"))
     ),
-    reason="run tools/dump_fixtures.py under mxnet/gluoncv and copy outputs "
-    "into tests/fixtures/",
+    reason="needs tests/fixtures/yolo3_darknet53_voc.params + "
+    "yolo3_voc_decode.npz: run tools/dump_fixtures.py under mxnet/gluoncv "
+    "and copy its output into tests/fixtures/",
 )
 
 
