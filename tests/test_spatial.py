@@ -157,9 +157,10 @@ def test_train_step_spatial_matches_dp():
 
 
 def test_tp_shardings_rule(small_model):
-    """Conv kernels shard on out-channels, channel vectors on dim 0, and
-    non-divisible dims (the 3*(5+C)=24-channel head at C=3 still divides;
-    force an odd case with a fake leaf) replicate."""
+    """Conv kernels shard on out-channels; kernels whose out-channels don't
+    divide fall back to input-channel (reduce-parallel) sharding — the YOLO
+    prediction convs; channel vectors shard on dim 0; everything with no
+    divisible dim replicates."""
     _, variables = small_model
     mesh = make_mesh(8, axis_names=("model",))
     sh = tp_shardings(variables, mesh)
@@ -173,10 +174,19 @@ def test_tp_shardings_rule(small_model):
     for p, x in kernels:
         if x.shape[-1] % 8 == 0:
             assert specs[p].spec == P(*((None,) * (x.ndim - 1) + ("model",))), p
-    odd = {"params": {"v": jnp.zeros((7,)), "k": jnp.zeros((3, 3, 4, 12))}}
+    # a (1,1,cin,cout) prediction-style kernel with cout=75 (3*(5+20), the
+    # VOC head — not divisible by 8) and divisible cin must shard on cin
+    odd = {
+        "params": {
+            "v": jnp.zeros((7,)),
+            "pred": jnp.zeros((1, 1, 64, 75)),
+            "k": jnp.zeros((3, 3, 4, 12)),
+        }
+    }
     so = tp_shardings(odd, mesh)
     assert so["params"]["v"].spec == P()  # 7 % 8 != 0 -> replicated
-    assert so["params"]["k"].spec == P()  # 12 % 8 != 0 -> replicated
+    assert so["params"]["pred"].spec == P(None, None, "model", None)
+    assert so["params"]["k"].spec == P()  # neither 12 nor 4 divides 8
 
 
 def test_detect_tp_matches_replicated(small_model):
@@ -191,6 +201,33 @@ def test_detect_tp_matches_replicated(small_model):
     mesh = make_mesh(8, axis_names=("model",))
     tpv = shard_variables_tp(variables, mesh)
     got = jax.device_get(_forward(model, tpv)(x))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+
+
+def test_detect_tp_odd_head_matches_replicated():
+    """The reduce-parallel fallback numerically: num_classes=2 makes the
+    prediction convs 3*(5+2)=21 wide (not divisible by 8), so they shard on
+    their input channels and GSPMD closes each level with a psum — results
+    must still match the replicated apply."""
+    model = YOLOv3(num_classes=2)
+    x0 = jnp.zeros((1, S, S, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x0, train=False)
+    mesh = make_mesh(8, axis_names=("model",))
+    sh = tp_shardings(variables, mesh)
+    # the three prediction kernels must have taken the cin fallback
+    kernel_specs = [
+        s.spec
+        for p, s in jax.tree_util.tree_leaves_with_path(sh["params"])
+        if "prediction" in str(p) and "kernel" in str(p)
+    ]
+    assert kernel_specs and all(
+        sp == P(None, None, "model", None) for sp in kernel_specs
+    ), kernel_specs
+
+    x = jnp.asarray(np.random.RandomState(5).rand(1, S, S, 3), jnp.float32)
+    want = jax.device_get(_forward(model, variables)(x))
+    got = jax.device_get(_forward(model, shard_variables_tp(variables, mesh))(x))
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
 
