@@ -8,6 +8,9 @@ PROF_SECTIONS selects comma-separated sections (default all):
   corr   Pallas vs XLA correlation kernel
   ts     two-stream flownet gated-add: bf16 vs mixed static int8 (384px)
   t5q    YOLOv3Temporal bf16 vs static int8 (t_out corr path)
+  rnn    conv-RNN tips (rnn_pos late/out, reference yolo3.py:1016-1019):
+         bf16 vs MIXED static int8 (ConvBNLeaky cells int8, ConvRNN
+         real-valued — see PARITY.md int8 guidance table)
 """
 import os, sys, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -20,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from videoyolo_tpu.models.factory import YoloConfig, build_model
 from videoyolo_tpu.models.yolo3 import postprocess_tout
 
-SECTIONS = set(os.environ.get("PROF_SECTIONS", "k3,t5,corr,ts,t5q").split(","))
+SECTIONS = set(os.environ.get("PROF_SECTIONS", "k3,t5,corr,ts,t5q,rnn").split(","))
 
 
 def _force(o):
@@ -53,6 +56,27 @@ def jit_step(model, variables):
         boxes, scores = model.apply(v, im, train=False)
         return postprocess_tout(boxes, scores)
     return lambda im: step(variables, im)
+
+
+def bench_quant(cfg, b, k, s):
+    """bf16 vs static-int8 (quantize_static handles mixed-precision families:
+    BN-less / recurrent cells pass through real-valued) for one config."""
+    from videoyolo_tpu.ops.quantize import quantize_static
+
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(b, k, s, s, 3), jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, k, s, s, 3), jnp.bfloat16),
+        train=False,
+    )
+    ms = timeit(jit_step(model, variables), x)
+    out = {"bf16_ms": round(ms, 2), "bf16_clip_fps": round(b / ms * 1e3, 1),
+           "bf16_frame_fps": round(b * k / ms * 1e3, 1)}
+    qmodel, qvars = quantize_static(model, variables, [np.asarray(x[:8], np.float32)])
+    qms = timeit(jit_step(qmodel, qvars), x)
+    out.update({"int8_ms": round(qms, 2), "int8_clip_fps": round(b / qms * 1e3, 1),
+                "int8_frame_fps": round(b * k / qms * 1e3, 1)})
+    return out
 
 
 def bench_cfg(cfg, b, k, s=416):
@@ -101,24 +125,6 @@ if "ts" in SECTIONS:
     # 384 not 416: the FlowNetS decoder (ours AND the reference's,
     # flownet.py:95 concat) only matches spatially for inputs divisible by
     # 64 — at 416, conv5 is 13 but deconv5 emits 14 in both frameworks.
-    from videoyolo_tpu.ops.quantize import quantize_static
-
-    def bench_quant(cfg, b, k, s):
-        model = build_model(cfg)
-        x = jnp.asarray(np.random.RandomState(0).rand(b, k, s, s, 3), jnp.bfloat16)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, k, s, s, 3), jnp.bfloat16),
-            train=False,
-        )
-        ms = timeit(jit_step(model, variables), x)
-        out = {"bf16_ms": round(ms, 2), "bf16_clip_fps": round(b / ms * 1e3, 1),
-               "bf16_frame_fps": round(b * k / ms * 1e3, 1)}
-        qmodel, qvars = quantize_static(model, variables, [np.asarray(x[:8], np.float32)])
-        qms = timeit(jit_step(qmodel, qvars), x)
-        out.update({"int8_ms": round(qms, 2), "int8_clip_fps": round(b / qms * 1e3, 1),
-                    "int8_frame_fps": round(b * k / qms * 1e3, 1)})
-        return out
-
     res["ts_flownet_k3_add_b16"] = bench_quant(
         YoloConfig(num_classes=30, motion_stream="flownet", k=3, add_type="add",
                    dtype=jnp.bfloat16), 16, 3, 384
@@ -126,14 +132,22 @@ if "ts" in SECTIONS:
     print("ts", res["ts_flownet_k3_add_b16"], flush=True)
 
 if "t5q" in SECTIONS:
-    from videoyolo_tpu.ops.quantize import quantize_static  # noqa: F811
-
-    if "bench_quant" not in dir():
-        raise SystemExit("t5q requires the ts section's bench_quant (run both)")
     res["yolov3temporal_t5_int8_b16"] = bench_quant(
         YoloConfig(num_classes=30, temporal=True, t_out=True, corr_pos="early",
                    corr_d=4, dtype=jnp.bfloat16), 16, 5, 416
     )
     print("t5q", res["yolov3temporal_t5_int8_b16"], flush=True)
+
+if "rnn" in SECTIONS:
+    # conv-RNN tips/outputs: mixed static int8 quantises every ConvBNLeaky
+    # cell, the ConvRNN carry stays real-valued (PARITY.md int8 guidance)
+    for pos in ("late", "out"):
+        key = f"rnn_{pos}_k3_b16"
+        res[key] = bench_quant(
+            YoloConfig(num_classes=30, k=3, k_join_type="max",
+                       k_join_pos="late", rnn_pos=pos, dtype=jnp.bfloat16),
+            16, 3, 416,
+        )
+        print(key, res[key], flush=True)
 
 print(json.dumps(res))
