@@ -270,7 +270,10 @@ def _time_rate(step, x, n_frames: int, warmup: int = WARMUP, iters: int = ITERS)
 def prep_detect():
     from videoyolo_tpu.models.yolo3 import YOLOv3, postprocess
 
-    model = YOLOv3(num_classes=20, dtype=jnp.bfloat16)
+    # pad_stem: bit-equivalent input-channel-padded stem, +7.7% full step
+    # (round-5 attribution, tools/prof_detect_stages.py); int8 and latency
+    # sections inherit it through this model
+    model = YOLOv3(num_classes=20, dtype=jnp.bfloat16, pad_stem=True)
     x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16), train=False

@@ -57,6 +57,12 @@ flags.DEFINE_boolean(
     "Evaluate the darknet stem on the space-to-depth grid (bit-equivalent, "
     "faster on TPU); standard checkpoints are refolded on load.",
 )
+flags.DEFINE_boolean(
+    "pad_stem", False,
+    "Zero-pad the RGB input to 4 channels inside the graph (bit-equivalent, "
+    "~8% faster detect on TPU; 2D darknet53 model only); standard "
+    "checkpoints are refolded on load.",
+)
 flags.DEFINE_boolean("metric_agnostic", False, "make the metric class agnostic?")
 flags.DEFINE_list("gpus", [0], "Kept for reference CLI parity; devices come from JAX.")
 flags.DEFINE_string(
@@ -283,6 +289,7 @@ def get_net_and_params(num_classes):
         t_out=FLAGS.mult_out,
         conv_types=tuple(int(c) for c in FLAGS.conv_types),
         s2d_stem=FLAGS.s2d_stem,
+        pad_stem=FLAGS.pad_stem,
     )
     model = build_model(cfg)
     shape = (
@@ -303,6 +310,19 @@ def get_net_and_params(num_classes):
                 jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32), train=False
             )
             variables = refold_stem_s2d(
+                load_detector_params(FLAGS.model_path, dict(std_vars)), prefix="backbone"
+            )
+        elif FLAGS.pad_stem and getattr(model, "pad_stem", False):
+            # same refold protocol: checkpoints are stored in the standard
+            # (3-channel stem) layout
+            from videoyolo_tpu.models.s2d import pad_stem_cin
+            import dataclasses
+
+            std = build_model(dataclasses.replace(cfg, pad_stem=False))
+            std_vars = std.init(
+                jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32), train=False
+            )
+            variables = pad_stem_cin(
                 load_detector_params(FLAGS.model_path, dict(std_vars)), prefix="backbone"
             )
         else:

@@ -91,3 +91,46 @@ def test_s2d_through_full_model():
     b2, s2 = s2d.apply(vs, x, train=False)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-3)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+
+
+def test_pad_stem_equivalent():
+    """Darknet53(pad_stem=True) with a zero-padded conv0 kernel is bit-
+    equivalent to the standard stem (the 4th input channel is all zeros);
+    also through the full detector and the int8 quantised path."""
+    import jax
+    import jax.numpy as jnp
+
+    from videoyolo_tpu.models.s2d import pad_stem_cin
+
+    std = Darknet53(**SMALL)
+    pad = Darknet53(pad_stem=True, **SMALL)
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 32, 32, 3), jnp.float32)
+    v = std.init(jax.random.PRNGKey(0), x, train=False)
+    vp = pad_stem_cin(dict(v))
+    assert np.asarray(vp["params"]["conv0"]["Conv_0"]["kernel"]).shape[2] == 4
+    for a, b in zip(std.apply(v, x, train=False), pad.apply(vp, x, train=False)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pad_stem_through_full_model_and_int8():
+    import jax
+    import jax.numpy as jnp
+
+    from videoyolo_tpu.models.factory import yolo3_darknet53
+    from videoyolo_tpu.models.s2d import pad_stem_cin
+    from videoyolo_tpu.ops.quantize import quantize_static
+
+    std = yolo3_darknet53(3)
+    pad = yolo3_darknet53(3, pad_stem=True)
+    x = jnp.asarray(np.random.RandomState(5).rand(1, 64, 64, 3), jnp.float32)
+    v = std.init(jax.random.PRNGKey(1), x, train=False)
+    vp = pad_stem_cin(dict(v), prefix="backbone")
+    b1, s1 = std.apply(v, x, train=False)
+    b2, s2 = pad.apply(vp, x, train=False)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    # int8 serving path accepts the 4-channel stem kernel
+    qm, qv = quantize_static(pad, vp, [np.asarray(x, np.float32)])
+    qb, qs = qm.apply(qv, x, train=False)
+    corr = np.corrcoef(np.asarray(s2).ravel(), np.asarray(qs).ravel())[0, 1]
+    assert np.isfinite(np.asarray(qb)).all() and corr > 0.99, corr

@@ -145,6 +145,15 @@ class Darknet53(nn.Module):
     # ConvBNLeakyS2D); weights refold from standard checkpoints via
     # models/s2d.refold_stem_s2d
     s2d_stem: bool = False
+    # zero-pad the RGB input to 4 channels inside the graph so the stem
+    # conv's contraction dim is 36 not 27 (lane-aligned on the MXU).  Bit-
+    # equivalent: the 4th input channel is all zeros, so its kernel row
+    # contributes nothing.  Measured +7.7% on the full B=128/416 bf16
+    # detect step (ROADMAP round-5 attribution).  conv0's kernel becomes
+    # (3, 3, 4, 32); standard checkpoints refold via
+    # models/s2d.pad_stem_cin.  Mutually exclusive with s2d_stem (which
+    # already reshapes the input to 12 channels).
+    pad_stem: bool = False
     quant: Any = False  # int8 serving path (eval-only; see ops/quantize.py)
     # fused-int8 downsample emitter: "direct" | "s2d" | "pallas" (layers.py)
     ds_conv: str = "direct"
@@ -152,6 +161,9 @@ class Darknet53(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.s2d_stem and self.pad_stem)
+        if self.pad_stem and x.shape[-1] == 3:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, 1),))
         # stage1: conv0 + groups up to and including the 256-ch / 8-block group
         if self.s2d_stem:
             x = space_to_depth(x)

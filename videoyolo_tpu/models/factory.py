@@ -47,9 +47,16 @@ class YoloConfig:
     funnel_time: bool = False
     remat: bool = False  # rematerialise backbone activations (2D model)
     s2d_stem: bool = False  # space-to-depth stem (2D model; models/s2d.py)
+    # input-channel-padded stem (2D model; bit-equivalent, +7.7% detect —
+    # models/s2d.pad_stem_cin refolds standard checkpoints)
+    pad_stem: bool = False
     dtype: object = None
 
     def validate(self):
+        assert not (self.s2d_stem and self.pad_stem), (
+            "s2d_stem already reshapes the input to 12 channels; pad_stem "
+            "does not compose with it"
+        )
         if self.k is not None and self.k > 1:
             assert self.k_join_type in (None, "max", "mean", "cat")
             assert self.k_join_pos in (None, "early", "late")
@@ -143,7 +150,7 @@ def build_model(cfg: YoloConfig):
         )
     return YOLOv3(
         num_classes=cfg.num_classes, agnostic=cfg.agnostic, remat=cfg.remat,
-        s2d_stem=cfg.s2d_stem, dtype=cfg.dtype,
+        s2d_stem=cfg.s2d_stem, pad_stem=cfg.pad_stem, dtype=cfg.dtype,
     )
 
 

@@ -1,4 +1,4 @@
-"""Space-to-depth stem weight refolding.
+"""Stem weight refolding: space-to-depth, and input-channel padding.
 
 The standard Darknet53 stem (reference darknet.py:132-133 conv0 + the first
 downsample) runs at 24% MFU on TPU: a stride-1 3x3 conv with contraction
@@ -27,7 +27,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["refold_conv0", "refold_down1", "refold_stem_s2d"]
+__all__ = ["refold_conv0", "refold_down1", "refold_stem_s2d", "pad_stem_cin"]
 
 
 def refold_conv0(w: np.ndarray) -> np.ndarray:
@@ -68,6 +68,25 @@ def _mutable(tree):
     if hasattr(tree, "items"):
         return {k: _mutable(v) for k, v in tree.items()}
     return tree
+
+
+def pad_stem_cin(variables: Dict, prefix: str = "") -> Dict:
+    """Standard Darknet53 variables -> Darknet53(pad_stem=True) variables.
+
+    Only conv0's kernel changes: (3, 3, 3, F) -> (3, 3, 4, F) with a zero
+    4th input-channel row.  The padded model zero-pads its RGB input to 4
+    channels inside the graph, so the extra row never contributes — outputs
+    are bit-equivalent modulo float accumulation order.  `prefix` as in
+    `refold_stem_s2d`."""
+    out = _mutable(dict(variables))
+    root = out["params"][prefix] if prefix else out["params"]
+    w0 = np.asarray(root["conv0"]["Conv_0"]["kernel"])
+    k, _, c, f = w0.shape
+    assert c == 3, w0.shape
+    root["conv0"]["Conv_0"]["kernel"] = np.concatenate(
+        [w0, np.zeros((k, k, 1, f), w0.dtype)], axis=2
+    )
+    return out
 
 
 def refold_stem_s2d(variables: Dict, prefix: str = "") -> Dict:

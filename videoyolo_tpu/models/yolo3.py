@@ -156,6 +156,10 @@ class YOLOv3(nn.Module):
     # MXU-shaped — darknet.ConvBNLeakyS2D); standard checkpoints refold via
     # models/s2d.refold_stem_s2d(variables, prefix="backbone")
     s2d_stem: bool = False
+    # zero-pad the RGB input to 4 channels inside the graph (bit-equivalent,
+    # +7.7% full-step detect — see Darknet53.pad_stem); standard checkpoints
+    # refold via models/s2d.pad_stem_cin(variables, prefix="backbone")
+    pad_stem: bool = False
     # int8 serving path: conv-BN-leaky cells contract int8 on the MXU with
     # dynamically-quantised activations; convert a trained checkpoint via
     # ops/quantize.quantize_detector_variables (never init).  Eval-only.
@@ -178,18 +182,18 @@ class YOLOv3(nn.Module):
             # activation set spills beyond a v5e chip past batch ~32
             if self.remat == "stem":
                 routes = Darknet53(
-                    name="backbone", remat_stages=3, s2d_stem=self.s2d_stem,
+                    name="backbone", remat_stages=3, s2d_stem=self.s2d_stem, pad_stem=self.pad_stem,
                     quant=self.quant, ds_conv=self.ds_conv, dtype=self.dtype,
                 )(x, train)
             elif self.remat:
                 cls = nn.remat(Darknet53, static_argnums=(2,))
                 routes = cls(
-                    name="backbone", s2d_stem=self.s2d_stem,
+                    name="backbone", s2d_stem=self.s2d_stem, pad_stem=self.pad_stem,
                     quant=self.quant, ds_conv=self.ds_conv, dtype=self.dtype
                 )(x, train)
             else:
                 routes = Darknet53(
-                    name="backbone", s2d_stem=self.s2d_stem,
+                    name="backbone", s2d_stem=self.s2d_stem, pad_stem=self.pad_stem,
                     quant=self.quant, ds_conv=self.ds_conv, dtype=self.dtype
                 )(x, train)
         else:
