@@ -45,7 +45,10 @@ Fields (all rates frames- or images-/sec):
   train_img_s                    jitted train-step throughput (fwd + on-
                                  device targets + loss + bwd + SGD), bf16,
                                  B=48, space-to-depth stem, no remat — the
-                                 fastest measured single-chip recipe
+                                 fastest measured single-chip recipe — on
+                                 the loader's uint8+color wire contract
+                                 (parity with f32 inputs per the r3 wgrad
+                                 table; lets e2e reuse this executable)
   temporal_k3_fps                YOLOv3T k=3 late-max detect frames/s (B=32)
   temporal_t5_fps                YOLOv3Temporal t=5 (t_out + corr pyramid)
                                  detect frames/s (B=16)
@@ -79,10 +82,11 @@ Fields (all rates frames- or images-/sec):
                                  by chaining dependent steps inside one
                                  dispatch (videoyolo_tpu/profiling.py
                                  chain method) — the per-request number a
-                                 directly-attached deployment sees.  These
-                                 scan-of-20-steps graphs are the most
-                                 expensive compiles in the file, so they are
-                                 the LOWEST priority section
+                                 directly-attached deployment sees.  Two
+                                 independent sections ("latency" bf16,
+                                 "latency_int8"): the bf16 chain needs only
+                                 the detect model handoff, so it is never
+                                 hostage to int8 calibration
   host_cpus                      cores available to the loader (this box
                                  has 1; TPU-VMs have ~100+)
   sections_s / skipped /         per-section wall seconds (compile wait +
@@ -111,13 +115,15 @@ throughput on one V100 — widely reported at ~60-80 fps batched at 416 px
 All timings force execution with jax.device_get (async dispatch otherwise
 under-reports; round-1's train-side numbers suffered exactly that).
 
-Env knobs: BENCH_BUDGET_S (wall budget, default 1800); BENCH_ONLY
-(comma-separated section names to run, e.g. "detect,int8" — the detect prep
-always runs regardless since int8/latency build on its model).  Section
-dependencies: "latency" auto-creates the "int8" prep it needs (the
-quantized model), but "e2e" still needs "train" AND "loader" listed (it
-feeds the loader's batches through the train step) — listing e2e without
-them reports it under "skipped".
+Env knobs: BENCH_BUDGET_S (wall budget, default 1740 — 60 s inside the
+driver's ~1800 s external kill, so bench reports its own skips and exits
+rc=0 rather than dying to SIGTERM mid-wait); BENCH_ONLY (comma-separated
+section names, e.g. "detect,int8" — the detect prep always runs regardless
+since int8/latency build on its model handoff).  Section dependencies:
+"latency_int8" auto-creates the "int8" prep it needs (the calibrated
+model); "e2e" needs "train" AND "loader" listed (it reuses the train
+section's executable on the loader's batches) — listing e2e without them
+reports it under "skipped".
 """
 from __future__ import annotations
 
@@ -143,11 +149,23 @@ TRAIN_BATCH = 48  # fastest measured train config (s2d stem, no remat)
 TRAIN_ITERS = 10
 
 T_START = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+# Default 1740, NOT 1800: the driver kills the process externally at ~1800 s
+# (BENCH_r04.json died to that SIGTERM at 1797.9 s, before the internal
+# budget could mark unresolved sections as skipped).  Keeping the internal
+# budget 60 s inside the external one means bench wraps up, reports skips,
+# and exits rc=0 on its own terms.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1740"))
 
 RESULTS: dict = {}  # enriched fields, updated as sections land
 SECTIONS_S: dict = {}  # per-section wall time
 SKIPPED: list = []
+WANTED: list = []  # every section this run intends to measure (emit uses it
+# to report still-unresolved sections as skipped on final/aborted dumps)
+# cross-prep handoffs: prep threads publish intermediate products (model +
+# variables) here and set the event, so dependent preps start compiling
+# without waiting for the upstream prep's own (much slower) compile
+HANDOFF: dict = {}
+HANDOFF_EVENTS = {"detect_model": threading.Event(), "int8_model": threading.Event()}
 # RLock, not Lock: the SIGTERM/SIGALRM handler runs ON the main thread and
 # calls emit(); if the signal lands while the main thread is already inside
 # emit() holding the lock, a plain Lock would deadlock the handler against
@@ -206,6 +224,17 @@ def emit(final: bool = False, aborted: str | None = None) -> None:
         line["bench_wall_s"] = round(time.perf_counter() - T_START, 1)
         line["budget_s"] = BUDGET_S
         line["sections_s"] = {k: round(v, 1) for k, v in sections.items()}
+        if final or aborted:
+            # sections still unresolved when the process is going down are
+            # skipped in every sense that matters — name them, so a killed
+            # run reports WHAT it lost, not just that it was killed
+            skipped = skipped + [
+                n
+                for n in WANTED
+                if n not in sections
+                and n not in skipped
+                and f"{n}_error" not in results
+            ]
         if skipped:
             line["skipped"] = skipped
         if final:
@@ -273,11 +302,22 @@ def prep_detect():
     # pad_stem: bit-equivalent input-channel-padded stem, +7.7% full step
     # (round-5 attribution, tools/prof_detect_stages.py); int8 and latency
     # sections inherit it through this model
-    model = YOLOv3(num_classes=20, dtype=jnp.bfloat16, pad_stem=True)
-    x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.bfloat16)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16), train=False
-    )
+    try:
+        model = YOLOv3(num_classes=20, dtype=jnp.bfloat16, pad_stem=True)
+        x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16),
+            train=False,
+        )
+        # publish model+variables BEFORE the (minutes-long) compile: int8's
+        # calibration and the bf16 latency chain need only these, so their
+        # preps start immediately instead of queueing behind this compile
+        HANDOFF["detect_model"] = (model, variables, x)
+    finally:
+        # set even on failure: a dependent prep then fails fast on the
+        # missing HANDOFF key instead of waiting forever on a pool thread
+        HANDOFF_EVENTS["detect_model"].set()
 
     @jax.jit
     def step(images):
@@ -297,13 +337,19 @@ def measure_detect(prep):
     RESULTS["detect_fps_median"] = round(rates[1], 2)
 
 
-def prep_int8(detect_future):
+def prep_int8():
     from videoyolo_tpu.models.yolo3 import postprocess
     from videoyolo_tpu.ops.quantize import quantize_fused
 
-    _compiled, model, variables, x = detect_future.result()
-
-    qmodel, qvars = quantize_fused(model, variables, [x[:8].astype(jnp.float32)])
+    try:
+        HANDOFF_EVENTS["detect_model"].wait()
+        model, variables, x = HANDOFF["detect_model"]
+        qmodel, qvars = quantize_fused(
+            model, variables, [x[:8].astype(jnp.float32)]
+        )
+        HANDOFF["int8_model"] = (qmodel, qvars)
+    finally:
+        HANDOFF_EVENTS["int8_model"].set()
 
     @jax.jit
     def step(images):
@@ -311,15 +357,21 @@ def prep_int8(detect_future):
         return postprocess(boxes, scores)
 
     compiled = step.lower(x).compile()
-    return compiled, qmodel, qvars
+    return compiled, qmodel, qvars, x
 
 
-def measure_int8(prep, x):
-    compiled, _qm, _qv = prep
+def measure_int8(prep):
+    compiled, _qm, _qv, x = prep
     RESULTS["detect_int8_fps"] = round(_time_rate(compiled, x, BATCH), 2)
 
 
 def prep_train():
+    """Train step in the LOADER'S wire contract — uint8 pixels + per-image
+    (3,4) affine color matrix (augmentation+normalization applied on device,
+    ops/color.py), gt padded to the loader's fixed 56 rows.  Measured at
+    parity with the f32-input contract (470 vs 474 img/s, tools/
+    prof_wgrad.py r3 table); using it here means the e2e section reuses THIS
+    executable verbatim (prep_e2e) — one fewer 100-300 s remote load."""
     from videoyolo_tpu.models.yolo3 import YOLOv3
     from videoyolo_tpu.train.lr import lr_schedule
     from videoyolo_tpu.train.step import create_train_state, make_train_step
@@ -337,10 +389,21 @@ def prep_train():
     gti = np.full((TRAIN_BATCH, 56, 1), -1, np.float32)
     gtb[:, 0] = [10, 10, 100, 100]
     gti[:, 0, 0] = 1
+    # plain normalize-only color maps (pixel/255 - mean)/std: the matrix
+    # VALUES don't affect cost (same fused (3,4) affine per pixel), and
+    # normalize-only keeps the loss landscape sane for the warm steps
+    mean = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
+    std = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
+    cmat = np.concatenate(
+        [np.diag(1.0 / std), (-mean / std)[:, None]], axis=1
+    ).astype(np.float32)
     batch = {
-        "image": jnp.asarray(rs.rand(TRAIN_BATCH, SIZE, SIZE, 3), jnp.float32),
+        "image": jnp.asarray(
+            rs.randint(0, 255, (TRAIN_BATCH, SIZE, SIZE, 3)), jnp.uint8
+        ),
         "gt_boxes": jnp.asarray(gtb),
         "gt_ids": jnp.asarray(gti),
+        "color": jnp.asarray(np.broadcast_to(cmat, (TRAIN_BATCH, 3, 4)).copy()),
     }
     compiled = jit_step.lower(state, batch).compile()
     return compiled, jit_step, state, batch
@@ -459,24 +522,40 @@ def measure_stream(prep):
     RESULTS["stream_k3_fps"] = round(b * ITERS / (time.perf_counter() - t0), 1)
 
 
-def prep_latency(detect_future, int8_future):
-    """B=1 serving latency chains for bf16 + int8 — the two most expensive
-    compiles in the file (lax.scan of 20 full steps), hence lowest priority."""
+def prep_latency():
+    """B=1 bf16 serving latency chain (lax.scan of 20 full steps — one of
+    the most expensive compiles in the file).  Depends only on the detect
+    MODEL handoff, not the detect compile, so it queues immediately."""
     from videoyolo_tpu.profiling import build_latency_chain
 
-    _compiled, model, variables, _x = detect_future.result()
+    HANDOFF_EVENTS["detect_model"].wait()
+    model, variables, _x = HANDOFF["detect_model"]
     x1 = jnp.asarray(np.random.RandomState(1).rand(1, SIZE, SIZE, 3), jnp.bfloat16)
-    c_bf16 = build_latency_chain(model, variables).lower(x1).compile()
-    _cm, qmodel, qvars = int8_future.result()  # needs the calibrated int8 net
-    c_int8 = build_latency_chain(qmodel, qvars).lower(x1).compile()
-    return c_bf16, c_int8, x1
+    return build_latency_chain(model, variables).lower(x1).compile(), x1
+
+
+def prep_latency_int8():
+    """int8 twin of prep_latency; waits on the CALIBRATED int8 model handoff
+    (published by prep_int8 before its own B=128 compile)."""
+    from videoyolo_tpu.profiling import build_latency_chain
+
+    HANDOFF_EVENTS["int8_model"].wait()
+    qmodel, qvars = HANDOFF["int8_model"]
+    x1 = jnp.asarray(np.random.RandomState(1).rand(1, SIZE, SIZE, 3), jnp.bfloat16)
+    return build_latency_chain(qmodel, qvars).lower(x1).compile(), x1
 
 
 def measure_latency(prep):
     from videoyolo_tpu.profiling import chain_ms
 
-    c_bf16, c_int8, x1 = prep
+    c_bf16, x1 = prep
     RESULTS["latency_b1_bf16_ms"] = round(chain_ms(c_bf16, x1), 2)
+
+
+def measure_latency_int8(prep):
+    from videoyolo_tpu.profiling import chain_ms
+
+    c_int8, x1 = prep
     RESULTS["latency_b1_int8_ms"] = round(chain_ms(c_int8, x1), 2)
 
 
@@ -585,21 +664,25 @@ def measure_transfer(shared):
 
 
 def prep_e2e(train_future, shared):
-    """Compile the uint8+color train-step variant the loader feeds.  Uses
-    the example batch captured by measure_loader (no host decode work here —
-    on a 1-core host that would contend with in-flight measurements) and
-    lowers against the train state's AVALS only (the concrete state buffers
-    are being donated through measure_train concurrently)."""
-    _compiled, jit_step, state, _batch = train_future.result()
+    """e2e = loader feeding the train executable.  The train section already
+    compiles the loader's exact wire contract (uint8+color, see prep_train),
+    so when the loader's example batch matches that spec — the normal case:
+    same TRAIN_BATCH/SIZE/max_boxes — this prep is FREE: it returns the
+    train section's compiled step.  Only on a spec mismatch does it lower a
+    fresh executable (against state AVALS: the concrete state buffers are
+    being donated through measure_train concurrently)."""
+    compiled, jit_step, state, batch = train_future.result()
     dev = {
         k: jnp.asarray(v)
         for k, v in shared["first_batch"].items()
-        if k != "label"
+        if k in ("image", "gt_boxes", "gt_ids", "color")
     }
-    state_avals = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state
-    )
-    compiled = jit_step.lower(state_avals, dev).compile()
+    spec = lambda t: jax.tree.map(lambda a: (a.shape, str(a.dtype)), t)  # noqa: E731
+    if spec(dev) == spec(batch):
+        return compiled, shared["loader"]
+    compiled = jit_step.lower(
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state), dev
+    ).compile()
     return compiled, shared["loader"]
 
 
@@ -717,27 +800,37 @@ def main():
     # 1. launch EVERY device section's compile concurrently, detect included
     #    (r4: serialising a clean headline ahead of the pool starved all the
     #    other sections under a slow compile service — see module docstring).
-    #    Dependencies always point backwards in submission order, so a prep
-    #    blocking on an earlier future can never deadlock the FIFO pool.
-    pool = ThreadPoolExecutor(max_workers=3)
+    #    Submission order IS the priority order for a slow compile service:
+    #    after the headline come the sections no driver artifact has ever
+    #    captured (temporal/stream/latency), then train (feeds e2e), then
+    #    int8 (captured in r4).  Dependent preps (int8, latency*) wait on
+    #    HANDOFF events — published before the upstream compile — never on
+    #    upstream futures, so they neither hold up the queue nor deadlock;
+    #    max_workers covers every section (a dependency-waiting thread costs
+    #    nothing; the real contention is the remote service's own queue).
+    pool = ThreadPoolExecutor(max_workers=8)
     futures = {}
     # detect is unconditional: it is the headline and int8/latency feed off it
     futures["detect"] = pool.submit(prep_detect)
-    if want("int8") or want("latency"):
-        futures["int8"] = pool.submit(prep_int8, futures["detect"])
-    if want("train"):
-        futures["train"] = pool.submit(prep_train)
     if want("temporal_k3"):
         futures["temporal_k3"] = pool.submit(prep_temporal_k3)
     if want("temporal_t5"):
         futures["temporal_t5"] = pool.submit(prep_temporal_t5)
     if want("stream"):
         futures["stream"] = pool.submit(prep_stream)
-    shared = {}
     if want("latency"):
-        futures["latency"] = pool.submit(
-            prep_latency, futures["detect"], futures["int8"]
-        )
+        futures["latency"] = pool.submit(prep_latency)
+    if want("train"):
+        futures["train"] = pool.submit(prep_train)
+    if want("int8") or want("latency_int8"):
+        futures["int8"] = pool.submit(prep_int8)
+    if want("latency_int8"):
+        futures["latency_int8"] = pool.submit(prep_latency_int8)
+    shared = {}
+    WANTED.extend(
+        list(futures)
+        + [n for n in ("loader", "transfer", "e2e") if want(n)]
+    )
 
     # 3. host-only sections while the device compiles are in flight
     #    (loader work is host CPU; the compile threads are idle waits).
@@ -783,18 +876,18 @@ def main():
         futures["e2e"] = pool.submit(prep_e2e, futures["train"], shared)
 
     # 4. measure device sections as their compiles resolve, priority order
-    #    (detect is the headline: highest priority among the ready)
+    #    (detect is the headline: highest priority among the ready; the
+    #    never-before-driver-captured sections outrank the r4-captured ones)
     measures = [
         ("detect", measure_detect),
-        # detect's future is resolved by the time int8's prep (which blocks
-        # on it) has resolved — .result() here is a no-wait fetch of x
-        ("int8", lambda p: measure_int8(p, futures["detect"].result()[3])),
-        ("train", lambda p: measure_train(p, shared)),
         ("temporal_k3", lambda p: measure_temporal(p, "temporal_k3_fps")),
         ("temporal_t5", lambda p: measure_temporal(p, "temporal_t5_fps")),
         ("stream", lambda p: measure_stream(p)),
-        ("e2e", lambda p: measure_e2e(p, shared)),
         ("latency", lambda p: measure_latency(p)),
+        ("train", lambda p: measure_train(p, shared)),
+        ("e2e", lambda p: measure_e2e(p, shared)),
+        ("int8", measure_int8),
+        ("latency_int8", measure_latency_int8),
     ]
     run_device_sections(futures, measures, want)
 

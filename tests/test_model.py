@@ -132,6 +132,33 @@ def test_select_topk_candidates_matches_flat_topk():
         np.testing.assert_array_equal(got[bi, :, 2:], boxes[bi][order // c])
 
 
+def test_select_topk_candidates_approx_recall():
+    """`approx_recall` (lax.approx_max_k candidate pool) keeps the output
+    contract: same (B,K,6) shape, scores sorted descending (the NMS
+    presorted invariant), and pool recall vs the exact selection well above
+    the per-stage target on random scores (the worst case for approximate
+    selection: near-uniform values at the k-th threshold)."""
+    from videoyolo_tpu.models.yolo3 import select_topk_candidates
+
+    rs = np.random.RandomState(5)
+    b, n, c, k = 2, 700, 7, 40
+    scores = jnp.asarray(rs.uniform(0, 1, (b, n, c)).astype(np.float32))
+    boxes = jnp.asarray(rs.uniform(0, 100, (b, n, 4)).astype(np.float32))
+    exact = np.asarray(select_topk_candidates(boxes, scores, topk=k))
+    approx = np.asarray(
+        select_topk_candidates(boxes, scores, topk=k, approx_recall=0.95)
+    )
+    assert approx.shape == (b, k, 6)
+    for bi in range(b):
+        sc = approx[bi, :, 1]
+        assert (np.diff(sc) <= 1e-7).all(), "candidates must stay presorted"
+        ekeys = {tuple(r) for r in np.round(exact[bi], 4)}
+        akeys = {tuple(r) for r in np.round(approx[bi], 4)}
+        # two approx stages at 0.95 each => >= ~0.90 expected; assert a
+        # loose floor so backend differences can't flake the test
+        assert len(ekeys & akeys) / len(ekeys) >= 0.85
+
+
 def test_select_topk_candidates_fewer_boxes_than_k():
     from videoyolo_tpu.models.yolo3 import select_topk_candidates
 

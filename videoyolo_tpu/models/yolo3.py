@@ -261,7 +261,7 @@ class YOLOv3(nn.Module):
 
 def select_topk_candidates(
     boxes: jnp.ndarray, scores: jnp.ndarray, topk: int = 400,
-    select_dtype=None,
+    select_dtype=None, approx_recall: Optional[float] = None,
 ) -> jnp.ndarray:
     """(B,N,4) boxes + (B,N,C) scores -> (B,K,6) (id, score, x1,y1,x2,y2).
 
@@ -286,14 +286,27 @@ def select_topk_candidates(
     runs the score selection (and the reported candidate scores) in bf16 —
     halving the score gather/reduce traffic for ~1.5 ms at B=128/416 on
     v5e — at the cost of bf16-rounded score values; box coordinates stay
-    exact in either mode, and the default keeps the exact f32 selection."""
+    exact in either mode, and the default keeps the exact f32 selection.
+
+    `approx_recall` (None = exact) switches both top-k stages to the TPU
+    `lax.approx_max_k` PartialReduce with that per-stage recall target;
+    `aggregate_to_topk=True` keeps the output exactly sorted descending,
+    so the NMS presorted invariant is unaffected.  Only the *membership*
+    of the K-candidate pool is approximate — losses concentrate at the
+    pool's low-score boundary, which post_nms=100 discards anyway."""
     b, n, c = scores.shape
     k_pairs = min(topk, n * c)
     k_boxes = min(topk, n)
     if select_dtype is not None:
         scores = scores.astype(select_dtype)
+
+    def _topk(vals, k):
+        if approx_recall is not None:
+            return jax.lax.approx_max_k(vals, k, recall_target=approx_recall)
+        return jax.lax.top_k(vals, k)
+
     box_best = jnp.max(scores, axis=-1)  # (B,N)
-    _, box_idx0 = jax.lax.top_k(box_best, k_boxes)
+    _, box_idx0 = _topk(box_best, k_boxes)
     if scores.dtype == boxes.dtype:
         cand = jnp.concatenate([scores, boxes], axis=-1)
         pool = jnp.take_along_axis(cand, box_idx0[..., None], axis=1)  # (B,K,C+4)
@@ -303,7 +316,7 @@ def select_topk_candidates(
         pool_scores = jnp.take_along_axis(scores, box_idx0[..., None], axis=1)
         pool_boxes = jnp.take_along_axis(boxes, box_idx0[..., None], axis=1)
     flat = pool_scores.reshape(b, k_boxes * c)
-    top_scores, flat_idx = jax.lax.top_k(flat, min(k_pairs, k_boxes * c))
+    top_scores, flat_idx = _topk(flat, min(k_pairs, k_boxes * c))
     box_idx = flat_idx // c
     cls_idx = (flat_idx % c).astype(boxes.dtype)
     top_boxes = jnp.take_along_axis(pool_boxes, box_idx[..., None], axis=1)
@@ -351,6 +364,7 @@ def postprocess(
     post_nms: int = 100,
     force_suppress: bool = False,
     select_dtype=None,
+    approx_recall: Optional[float] = None,
 ):
     """Candidates -> NMS -> (ids, scores, bboxes), the reference's inference
     return contract (yolo3.py:523-534).  ids/scores: (B,P,1); bboxes (B,P,4).
@@ -359,10 +373,12 @@ def postprocess(
     full N*C set exactly like the reference's box_nms(topk=-1) (set_nms
     parity, yolo3.py:394-396).
     `select_dtype=jnp.bfloat16` opts into the half-traffic bf16 score
-    selection (see select_topk_candidates)."""
+    selection; `approx_recall` into the approx_max_k candidate pool (see
+    select_topk_candidates)."""
     topk = nms_topk if nms_topk > 0 else boxes.shape[1] * scores.shape[-1]
     cands = select_topk_candidates(
         boxes, scores, topk=topk, select_dtype=select_dtype,
+        approx_recall=approx_recall,
     )
     return _nms_tail(cands, nms_thresh, post_nms, force_suppress)
 
@@ -405,6 +421,7 @@ def postprocess_tout(
     post_nms: int = 100,
     force_suppress: bool = False,
     select_dtype=None,
+    approx_recall: Optional[float] = None,
 ):
     """`postprocess` that also accepts per-timestep (t_out / mult_out)
     outputs: (B, T, N, ...) boxes/scores fold T into the batch for the
@@ -421,10 +438,11 @@ def postprocess_tout(
             scores.reshape((b * t,) + scores.shape[2:]),
             nms_thresh=nms_thresh, nms_topk=nms_topk, post_nms=post_nms,
             force_suppress=force_suppress, select_dtype=select_dtype,
+            approx_recall=approx_recall,
         )
         return tuple(a.reshape((b, t) + a.shape[1:]) for a in dets)
     return postprocess(
         boxes, scores, nms_thresh=nms_thresh, nms_topk=nms_topk,
         post_nms=post_nms, force_suppress=force_suppress,
-        select_dtype=select_dtype,
+        select_dtype=select_dtype, approx_recall=approx_recall,
     )
