@@ -81,14 +81,59 @@ for i in range(B):
     akeys = {tuple(r) for r in np.round(ca[i], 4)}
     rec.append(len(ekeys & akeys) / max(1, len(ekeys)))
 
+def sel_stage1_noagg(boxes, scores, topk=400):
+    """Variant: approx stage-1 WITHOUT aggregate_to_topk (membership only —
+    stage 2's exact top-k restores the exact ordering), exact stage 2."""
+    b, n, c = scores.shape
+    k_boxes = min(topk, n)
+    box_best = jnp.max(scores, axis=-1)
+    _, box_idx0 = jax.lax.approx_max_k(
+        box_best, k_boxes, recall_target=args.recall, aggregate_to_topk=False
+    )
+    k_eff = box_idx0.shape[-1]  # approx may return more than k without agg
+    cand = jnp.concatenate([scores, boxes], axis=-1)
+    pool = jnp.take_along_axis(cand, box_idx0[..., None], axis=1)
+    pool_scores = pool[..., :c]
+    pool_boxes = pool[..., c:]
+    flat = pool_scores.reshape(b, k_eff * c)
+    top_scores, flat_idx = jax.lax.top_k(flat, min(topk, k_eff * c))
+    box_idx = flat_idx // c
+    cls_idx = (flat_idx % c).astype(boxes.dtype)
+    top_boxes = jnp.take_along_axis(pool_boxes, box_idx[..., None], axis=1)
+    return jnp.concatenate(
+        [cls_idx[..., None], top_scores[..., None].astype(boxes.dtype), top_boxes],
+        axis=-1,
+    )
+
+
+from videoyolo_tpu.models.yolo3 import _nms_tail  # noqa: E402
+
+sel_s1 = jax.jit(sel_stage1_noagg)
+full_s1 = jax.jit(
+    lambda im: _nms_tail(
+        sel_stage1_noagg(*model.apply(variables, im, train=False)), 0.45, 100, False
+    )
+)
+
+cs = np.asarray(sel_s1(boxes_r, scores_r))
+rec_s1 = []
+for i in range(B):
+    ekeys = {tuple(r) for r in np.round(ce[i], 4)}
+    skeys = {tuple(r) for r in np.round(cs[i], 4)}
+    rec_s1.append(len(ekeys & skeys) / max(1, len(ekeys)))
+
 res = {
     "recall_target": args.recall,
     "topk_exact_ms": timeit(sel_exact, boxes_r, scores_r),
     "topk_approx_ms": timeit(sel_approx, boxes_r, scores_r),
+    "topk_s1noagg_ms": timeit(sel_s1, boxes_r, scores_r),
     "full_exact_ms": timeit(full_exact, x),
     "full_approx_ms": timeit(full_approx, x),
+    "full_s1noagg_ms": timeit(full_s1, x),
     "pool_recall_measured": round(float(np.mean(rec)), 4),
+    "pool_recall_s1noagg": round(float(np.mean(rec_s1)), 4),
 }
 res["fps_exact"] = B / res["full_exact_ms"] * 1e3
 res["fps_approx"] = B / res["full_approx_ms"] * 1e3
+res["fps_s1noagg"] = B / res["full_s1noagg_ms"] * 1e3
 print(json.dumps(res, indent=1))
