@@ -23,6 +23,10 @@ from videoyolo_tpu.ops.nms import box_nms
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--s2d", action="store_true", help="space-to-depth stem")
+ap.add_argument(
+    "--pad_stem", action="store_true",
+    help="input-channel-padded stem (the shipped bench headline config)",
+)
 ap.add_argument("--batch", type=int, default=128)
 ap.add_argument("--size", type=int, default=416)
 ap.add_argument(
@@ -33,7 +37,9 @@ ap.add_argument(
 args = ap.parse_args()
 
 B, S = args.batch, args.size
-model = YOLOv3(num_classes=20, dtype=jnp.bfloat16, s2d_stem=args.s2d)
+model = YOLOv3(
+    num_classes=20, dtype=jnp.bfloat16, s2d_stem=args.s2d, pad_stem=args.pad_stem
+)
 x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
 variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3), jnp.bfloat16), train=False)
 
