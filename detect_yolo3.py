@@ -63,6 +63,14 @@ flags.DEFINE_boolean(
     "~8% faster detect on TPU; 2D darknet53 model only); standard "
     "checkpoints are refolded on load.",
 )
+flags.DEFINE_float(
+    "approx_topk_recall", 0.0,
+    "If > 0, run the NMS candidate top-k via the TPU approx_max_k reduce "
+    "with this per-stage recall target (e.g. 0.95) — output stays sorted; "
+    "only the membership of the 400-candidate pool is approximate "
+    "(measured +0.5 percent detect fps at 416/B=128; 0 = exact selection, "
+    "the default).",
+)
 flags.DEFINE_boolean("metric_agnostic", False, "make the metric class agnostic?")
 flags.DEFINE_list("gpus", [0], "Kept for reference CLI parity; devices come from JAX.")
 flags.DEFINE_string(
@@ -487,7 +495,10 @@ def detect(model, variables, dataset, loader, max_do=-1):
     def step(images):
         boxes, scores = model.apply(variables, images, train=False)
         # mult_out (B, T, N, ...) folds T into the batch for NMS and unfolds
-        ids, sc, bb = postprocess_tout(boxes, scores, nms_thresh=0.45, nms_topk=400)
+        ids, sc, bb = postprocess_tout(
+            boxes, scores, nms_thresh=0.45, nms_topk=400,
+            approx_recall=FLAGS.approx_topk_recall or None,
+        )
         return ids, sc, bb.clip(0, shape)
 
     def collect(out_dict, file, ids_i, sc_i, bb_i):

@@ -27,12 +27,14 @@ def _reset_bench_state():
     bench.RESULTS.clear()
     bench.SECTIONS_S.clear()
     bench.SKIPPED.clear()
+    bench.WANTED.clear()
     bench.T_START = time.perf_counter()
     bench.BUDGET_S = 60.0
     yield
     bench.RESULTS.clear()
     bench.SECTIONS_S.clear()
     bench.SKIPPED.clear()
+    bench.WANTED.clear()
 
 
 def _done(value=None) -> Future:
@@ -58,6 +60,25 @@ def test_emit_headline_shape_and_final(capsys):
         assert line["vs_baseline"] == round(1400.0 / bench.REFERENCE_FPS, 3)
     assert "final" not in lines[0]
     assert lines[1]["final"] is True
+
+
+def test_emit_final_names_unresolved_sections_as_skipped(capsys):
+    """A final/aborted dump must name every wanted-but-unmeasured section in
+    `skipped` — the r5 cold-service validation showed a SIGTERM landing
+    before the internal budget left the lost sections unreported."""
+    bench.WANTED.extend(["detect", "temporal_k3", "stream", "loader"])
+    bench.SECTIONS_S["detect"] = 5.0
+    bench.RESULTS["detect_fps"] = 2000.0
+    bench.RESULTS["stream_error"] = "ValueError('x')"
+    bench.SKIPPED.append("loader")
+    bench.emit()  # progress line: pending sections are NOT skipped yet
+    bench.emit(final=True, aborted="SIGTERM")
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0].get("skipped") == ["loader"]  # only the explicit skip
+    # final: unresolved temporal_k3 appears; measured detect and errored
+    # stream do not; no duplicates for the explicit loader skip
+    assert lines[1]["skipped"] == ["loader", "temporal_k3"]
+    assert lines[1]["aborted"] == "SIGTERM"
 
 
 def test_emit_headline_falls_back_to_contended_lower_bound(capsys):
