@@ -182,6 +182,12 @@ class YOLOv3T(nn.Module):
     corr_d: Optional[int] = None
     agnostic: bool = False
     backbone: Optional[nn.Module] = None  # temporal/two-stream backbone -> routes
+    # streaming deep-split head (videoyolo_tpu/streaming.py): feed="tips"
+    # takes the 3-tuple of per-frame (B, k, H, W, C) pre-join FPN tip
+    # windows (deep->shallow, cached by streaming._FrameTips) and runs only
+    # joins + output heads — legal for plain late joins, whose whole
+    # per-frame FPN is frame-pure
+    feed: Optional[str] = None
     anchors: Any = DEFAULT_ANCHORS
     strides: Sequence[int] = DEFAULT_STRIDES
     channels: Sequence[int] = FPN_CHANNELS
@@ -208,6 +214,15 @@ class YOLOv3T(nn.Module):
         assert self.k_join_type in (None, "max", "mean", "cat")
         assert self.k_join_pos in (None, "early", "late")
         assert self.corr_pos in (None, "early", "late")
+        if self.feed is not None:
+            assert self.feed == "tips"
+            assert (
+                self.k_join_pos == "late"
+                and self.k_join_type is not None
+                and self.rnn_pos is None
+                and self.corr_pos is None
+                and self.block_conv_type == "2"
+            ), "feed='tips' is the plain-late-join streaming split"
         if self.corr_pos is not None:
             assert self.corr_d, "corr_pos requires corr_d > 0"
         if self.block_conv_type in ("3", "21"):
@@ -222,10 +237,44 @@ class YOLOv3T(nn.Module):
             return _fold_time_into_channels(x)
         return TemporalPooling(type=self.k_join_type)(x)
 
+    def _finish(self, level_outs, train: bool):
+        if train:
+            return {
+                key: jnp.concatenate([o[key] for o in level_outs], axis=-2)
+                for key in level_outs[0]
+            }
+        boxes = jnp.concatenate([o[0] for o in level_outs], axis=-2)
+        class_scores = jnp.concatenate([o[1] for o in level_outs], axis=-2)
+        conf = jnp.concatenate([o[2] for o in level_outs], axis=-2)
+        if self.agnostic:
+            return boxes, conf
+        return boxes, class_scores
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         self._validate()
         temporal = self.k is not None and self.k > 1
+
+        if self.feed == "tips":
+            # x: 3-tuple of per-frame pre-join tip windows (B, k, H, W, C),
+            # deep->shallow — only the joins + output heads run, so the
+            # params this branch creates (output0..2) are exactly the
+            # streaming head's name-split variables
+            anchors_rev = list(self.anchors)[::-1]
+            strides_rev = list(self.strides)[::-1]
+            return self._finish(
+                [
+                    YOLOOutputConvT(
+                        self.num_classes,
+                        _anchor_pairs(anchors_rev[i]),
+                        strides_rev[i],
+                        name=f"output{i}",
+                        dtype=self.dtype,
+                    )(self._join(x[i]), train)
+                    for i in range(3)
+                ],
+                train,
+            )
 
         if self.backbone is not None:
             routes = list(self.backbone(x, train))
@@ -319,17 +368,7 @@ class YOLOv3T(nn.Module):
                 y = upsample2x(y)
                 y = jnp.concatenate([y, routes[2 - (i + 1)]], axis=-1)
 
-        if train:
-            return {
-                key: jnp.concatenate([o[key] for o in level_outs], axis=-2)
-                for key in level_outs[0]
-            }
-        boxes = jnp.concatenate([o[0] for o in level_outs], axis=-2)
-        class_scores = jnp.concatenate([o[1] for o in level_outs], axis=-2)
-        conf = jnp.concatenate([o[2] for o in level_outs], axis=-2)
-        if self.agnostic:
-            return boxes, conf
-        return boxes, class_scores
+        return self._finish(level_outs, train)
 
 
 class YOLOv3Temporal(nn.Module):

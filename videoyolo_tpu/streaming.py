@@ -14,15 +14,29 @@ a ring buffer of per-frame route features on device, so each new frame
 pays ONE backbone pass + the (cheap, per-window) join/head/NMS — a ~k×
 serving win on exactly the workload the temporal family exists for.
 
-The YOLOv3Temporal t=5 family streams the same way, at its own natural
-split: the plain t_out path runs the whole darknet per frame (three route
-buffers, like YOLOv3T); the corr-pyramid and funnel paths' only per-frame
-compute is darknet stage1 (reference yolo3_temporal.py:403-424 — stages
-2/3 consume window-mixed features), so the carry is one (B, t, H/8, W/8,
-256) stage1 buffer and each step re-runs corr + mid-frame stages 2/3 +
-head on the cached window — saving (t-1)/t of the stage1 cost, the
-dominant high-resolution slice of the backbone.  t_out models emit the
-window's T per-frame detections each step, offset-major (B, T, P, ...).
+The split point adapts to how deep the model stays frame-pure:
+
+* **plain late joins** (k_join max/mean/cat at the tips, 2D blocks, no
+  corr/RNN): the ENTIRE per-frame FPN — blocks and transitions included —
+  is frame-pure (yolo3.py:1134-1141 joins after the tips), so the ring
+  buffer holds the three pre-join TIP windows and the head shrinks to
+  join + output conv + NMS.  Each step then pays one backbone pass + ONE
+  per-frame FPN pass instead of k (measured: 25.2 ms vs 33.1 ms route
+  split at B=32/k=3/416 — stream 1269 fps vs 966, 1.97x over windowed
+  recompute).  int8 models stay on the route split (QTensor ring buffers
+  would requant at the cache boundary).
+* **every other YOLOv3T config** (early joins, corr, conv-RNN tips/
+  outputs, 3D/2+1D blocks): per-frame routes are cached and the head
+  re-runs the (window-mixing) FPN on the cached window.
+* **YOLOv3Temporal t=5**: the plain t_out path runs the whole darknet per
+  frame (three route buffers, like YOLOv3T); the corr-pyramid and funnel
+  paths' only per-frame compute is darknet stage1 (reference
+  yolo3_temporal.py:403-424 — stages 2/3 consume window-mixed features),
+  so the carry is one (B, t, H/8, W/8, 256) stage1 buffer and each step
+  re-runs corr + mid-frame stages 2/3 + head on the cached window —
+  saving (t-1)/t of the stage1 cost, the dominant high-resolution slice
+  of the backbone.  t_out models emit the window's T per-frame detections
+  each step, offset-major (B, T, P, ...).
 
 TPU-first shape: the stream state is an explicit functional carry (three
 stacked (B, k, ...) route buffers), the step is one jitted pure function
@@ -53,8 +67,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .models.darknet import Darknet53Stage1, DarknetStage
-from .models.yolo3 import postprocess_tout
-from .models.yolo3_temporal import YOLOv3T, YOLOv3Temporal
+from .models.layers import ConvBNLeaky, upsample2x
+from .models.yolo3 import FPN_CHANNELS, postprocess_tout
+from .models.yolo3_temporal import YOLODetectionBlockT, YOLOv3T, YOLOv3Temporal
 
 __all__ = [
     "StreamingDetector",
@@ -97,6 +112,70 @@ class _StageRoutes(nn.Module):
             y = stage(y, train)
             routes.append(y)
         return tuple(routes)
+
+
+class _FrameTips(nn.Module):
+    """Per-frame compute of a plain late-join YOLOv3T up to the (pre-join)
+    FPN tips: stages, FPN blocks, and transitions are all frame-pure when
+    the join sits after the tips (yolo3.py:1134-1141 'late'), so caching
+    TIPS instead of routes removes the other k-1 per-frame FPN passes from
+    every streaming step — the head shrinks to join + output conv + NMS.
+    Mirrors YOLOv3T.__call__ on one 4D frame (yolo3_temporal.py:263-320)
+    with the exact top-level module names, so the full model's variables
+    split cleanly by name (stage1..3/block0..2/transition0..1 here,
+    output0..2 in the feed='tips' head)."""
+
+    channels: Any = FPN_CHANNELS
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        routes = []
+        y = x
+        for stage in (
+            Darknet53Stage1(name="stage1", dtype=self.dtype),
+            DarknetStage(512, 8, name="stage2", dtype=self.dtype),
+            DarknetStage(1024, 4, name="stage3", dtype=self.dtype),
+        ):
+            y = stage(y, train)
+            routes.append(y)
+        tips = []
+        y = routes[-1]
+        for i in range(3):
+            y, tip = YOLODetectionBlockT(
+                self.channels[i], "2", name=f"block{i}", dtype=self.dtype
+            )(y, train)
+            tips.append(tip)
+            if i < 2:
+                y = ConvBNLeaky(
+                    self.channels[i + 1], kernel=1, name=f"transition{i}",
+                    dtype=self.dtype,
+                )(y, train)
+                y = upsample2x(y)
+                y = jnp.concatenate([y, routes[2 - (i + 1)]], axis=-1)
+        return tuple(tips)
+
+
+def _tip_split_ok(model) -> bool:
+    """The deep (tip-cache) split is legal exactly when the whole per-frame
+    FPN is frame-pure: plain late join, 2D blocks, no corr/RNN mixing, the
+    built-in backbone.  int8 stays on the route split (QTensor ring buffers
+    would force a requant round-trip at the cache boundary)."""
+    return (
+        type(model) is YOLOv3T
+        and model.backbone is None
+        and model.k_join_pos == "late"
+        and model.k_join_type is not None
+        and model.rnn_pos is None
+        and model.corr_pos is None
+        and model.block_conv_type == "2"
+        and not model.quant
+    )
+
+
+_TIP_NAMES = _STAGE_NAMES + (
+    "block0", "block1", "block2", "transition0", "transition1",
+)
 
 
 class _Stage1PerFrame(nn.Module):
@@ -155,6 +234,7 @@ def _check_streamable(model) -> None:
         "streaming needs the built-in per-frame backbone (custom temporal "
         "backbones own their time mixing)"
     )
+    assert model.feed is None, "model is already a streaming head"
     assert model.k and model.k > 1, "streaming needs a temporal window (k > 1)"
 
 
@@ -195,21 +275,25 @@ def _make_streaming_fns(
     ready feature window, no embed) so reset() can score its seeded buffers
     without a second backbone pass on the first frame."""
     _check_streamable(model)
-    names = _embed_names(model)
-    embed_vars, head_vars = split_temporal_variables(variables, names)
-    if len(names) == 3:
+    head_in = lambda bufs: bufs  # noqa: E731
+    wrap = lambda r: r  # noqa: E731
+    if _tip_split_ok(model):
+        # deep split: cache pre-join FPN tips; head = join + outputs + NMS
+        names = _TIP_NAMES
+        embed_model = _FrameTips(channels=model.channels, dtype=model.dtype)
+        head_model = model.clone(feed="tips")
+    elif (names := _embed_names(model)) and len(names) == 3:
         embed_model = _StageRoutes(quant=model.quant, dtype=model.dtype)
         if type(model) is YOLOv3T:
             head_model = model.clone(backbone=_RoutesBackbone(quant=model.quant))
         else:
             head_model = model.clone(feed="routes")
-        head_in = lambda bufs: bufs
-        wrap = lambda r: r
     else:
         embed_model = _Stage1PerFrame(quant=model.quant, dtype=model.dtype)
         head_model = model.clone(feed="stage1")
-        head_in = lambda bufs: bufs[0]
-        wrap = lambda r: (r,)
+        head_in = lambda bufs: bufs[0]  # noqa: E731
+        wrap = lambda r: (r,)  # noqa: E731
+    embed_vars, head_vars = split_temporal_variables(variables, names)
 
     def embed_fn(frame):
         return wrap(embed_model.apply(embed_vars, frame, train=False))
