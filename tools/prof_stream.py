@@ -65,7 +65,7 @@ def main():
     ap.add_argument("--classes", type=int, default=20)
     ap.add_argument(
         "--family", default="yolov3t",
-        choices=["yolov3t", "t5corr", "t5plain", "t5funnel"],
+        choices=["yolov3t", "rnnout", "t5corr", "t5plain", "t5funnel"],
     )
     args = ap.parse_args()
 
@@ -73,6 +73,13 @@ def main():
         model = YOLOv3T(
             num_classes=args.classes, k=args.k, k_join_type="max",
             k_join_pos="late", dtype=jnp.bfloat16,
+        )
+    elif args.family == "rnnout":
+        # 1x1 output conv-GRU over the window (yolo3.py:63-66); streams on
+        # the tip-cache deep split like the plain late joins
+        model = YOLOv3T(
+            num_classes=args.classes, k=args.k, k_join_type="max",
+            rnn_pos="out", dtype=jnp.bfloat16,
         )
     else:
         args.k = 5

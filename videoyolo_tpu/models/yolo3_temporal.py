@@ -216,13 +216,14 @@ class YOLOv3T(nn.Module):
         assert self.corr_pos in (None, "early", "late")
         if self.feed is not None:
             assert self.feed == "tips"
-            assert (
-                self.k_join_pos == "late"
+            assert self.corr_pos is None and self.block_conv_type == "2", (
+                "feed='tips' needs a frame-pure per-frame FPN"
+            )
+            assert self.rnn_pos == "out" or (
+                self.rnn_pos is None
+                and self.k_join_pos == "late"
                 and self.k_join_type is not None
-                and self.rnn_pos is None
-                and self.corr_pos is None
-                and self.block_conv_type == "2"
-            ), "feed='tips' is the plain-late-join streaming split"
+            ), "feed='tips' covers plain late joins and rnn_pos='out'"
         if self.corr_pos is not None:
             assert self.corr_d, "corr_pos requires corr_d > 0"
         if self.block_conv_type in ("3", "21"):
@@ -257,24 +258,27 @@ class YOLOv3T(nn.Module):
 
         if self.feed == "tips":
             # x: 3-tuple of per-frame pre-join tip windows (B, k, H, W, C),
-            # deep->shallow — only the joins + output heads run, so the
-            # params this branch creates (output0..2) are exactly the
-            # streaming head's name-split variables
+            # deep->shallow — only the joins/output-RNN + output heads run,
+            # so the params this branch creates (output0..2) are exactly
+            # the streaming head's name-split variables
             anchors_rev = list(self.anchors)[::-1]
             strides_rev = list(self.strides)[::-1]
-            return self._finish(
-                [
-                    YOLOOutputConvT(
-                        self.num_classes,
-                        _anchor_pairs(anchors_rev[i]),
-                        strides_rev[i],
-                        name=f"output{i}",
-                        dtype=self.dtype,
+            level_outs = []
+            for i in range(3):
+                pairs = _anchor_pairs(anchors_rev[i])
+                if self.rnn_pos == "out":
+                    out = YOLOOutputRNN(
+                        self.num_classes, pairs, strides_rev[i],
+                        k_join_type=self.k_join_type or "max",
+                        name=f"output{i}", dtype=self.dtype,
+                    )(x[i], train)
+                else:
+                    out = YOLOOutputConvT(
+                        self.num_classes, pairs, strides_rev[i],
+                        name=f"output{i}", dtype=self.dtype,
                     )(self._join(x[i]), train)
-                    for i in range(3)
-                ],
-                train,
-            )
+                level_outs.append(out)
+            return self._finish(level_outs, train)
 
         if self.backbone is not None:
             routes = list(self.backbone(x, train))

@@ -16,18 +16,19 @@ serving win on exactly the workload the temporal family exists for.
 
 The split point adapts to how deep the model stays frame-pure:
 
-* **plain late joins** (k_join max/mean/cat at the tips, 2D blocks, no
-  corr/RNN): the ENTIRE per-frame FPN — blocks and transitions included —
-  is frame-pure (yolo3.py:1134-1141 joins after the tips), so the ring
-  buffer holds the three pre-join TIP windows and the head shrinks to
-  join + output conv + NMS.  Each step then pays one backbone pass + ONE
-  per-frame FPN pass instead of k (measured: 25.2 ms vs 33.1 ms route
-  split at B=32/k=3/416 — stream 1269 fps vs 966, 1.97x over windowed
-  recompute).  int8 models stay on the route split (QTensor ring buffers
-  would requant at the cache boundary).
-* **every other YOLOv3T config** (early joins, corr, conv-RNN tips/
-  outputs, 3D/2+1D blocks): per-frame routes are cached and the head
-  re-runs the (window-mixing) FPN on the cached window.
+* **plain late joins and rnn_pos='out'** (2D blocks, no corr): the
+  ENTIRE per-frame FPN — blocks and transitions included — is frame-pure
+  (yolo3.py:1134-1141 joins after the tips; the 'out' conv-GRU is the
+  only window-mixing op for rnn_pos='out'), so the ring buffer holds the
+  three pre-join TIP windows and the head shrinks to join-or-output-RNN
+  + NMS.  Each step then pays one backbone pass + ONE per-frame FPN pass
+  instead of k (measured: late-max 25.2 ms vs 33.1 ms route split at
+  B=32/k=3/416 — stream 1269 fps vs 966, 1.97x over windowed recompute;
+  rnn-out 1060.6 fps at 2.13x, B=16).  int8 models stay on the route
+  split (QTensor ring buffers would requant at the cache boundary).
+* **every other YOLOv3T config** (early joins, corr, conv-RNN tips
+  [rnn_pos='late'], 3D/2+1D blocks): per-frame routes are cached and the
+  head re-runs the (window-mixing) FPN on the cached window.
 * **YOLOv3Temporal t=5**: the plain t_out path runs the whole darknet per
   frame (three route buffers, like YOLOv3T); the corr-pyramid and funnel
   paths' only per-frame compute is darknet stage1 (reference
@@ -158,18 +159,28 @@ class _FrameTips(nn.Module):
 
 def _tip_split_ok(model) -> bool:
     """The deep (tip-cache) split is legal exactly when the whole per-frame
-    FPN is frame-pure: plain late join, 2D blocks, no corr/RNN mixing, the
-    built-in backbone.  int8 stays on the route split (QTensor ring buffers
-    would force a requant round-trip at the cache boundary)."""
-    return (
+    FPN is frame-pure: 2D blocks, no corr mixing, the built-in backbone,
+    and time first mixed AT the tips — by a plain late join, or by the
+    output conv-RNN (rnn_pos='out': blocks/tips run per frame, only the
+    1x1 output GRU scans the window).  rnn_pos='late' stays on the route
+    split (its tip RNN consumes per-frame block ROUTES, i.e. the blocks'
+    NoTip variant — a different cache shape not worth a third split).
+    int8 stays on the route split (QTensor ring buffers would force a
+    requant round-trip at the cache boundary)."""
+    if not (
         type(model) is YOLOv3T
         and model.backbone is None
-        and model.k_join_pos == "late"
-        and model.k_join_type is not None
-        and model.rnn_pos is None
         and model.corr_pos is None
         and model.block_conv_type == "2"
         and not model.quant
+    ):
+        return False
+    if model.rnn_pos == "out":
+        return True
+    return (
+        model.rnn_pos is None
+        and model.k_join_pos == "late"
+        and model.k_join_type is not None
     )
 
 
